@@ -6,8 +6,14 @@ compile times/determinism sane. Real-chip benchmarking goes through bench.py.
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force CPU: the ambient env
+# points JAX_PLATFORMS at the single real TPU chip (axon), but tests need a
+# virtual 8-device mesh and fast recompiles; bench.py uses the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# Persistent compile cache: the unrolled limb kernels are compile-heavy.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zkpoa_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +23,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+# The environment's sitecustomize registers the axon TPU backend and forces
+# jax_platforms="axon,cpu" via jax.config.update, which overrides env vars.
+# Re-override here (runs before any test imports build arrays).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REFERENCE_ROOT = "/root/reference"
 

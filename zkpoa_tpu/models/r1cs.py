@@ -1,0 +1,219 @@
+"""R1CS constraint-system builder — the framework's circuit frontend.
+
+Plays the role circom + the vendored gadget libraries play in the reference
+(SURVEY.md §2.1-2.2): circuits are built as Python gadget functions that
+emit rank-1 constraints  <A,w>·<B,w> = <C,w>  over BN254 Fr and compute the
+witness eagerly as they build (each signal carries its concrete value).
+Layer circuits live in zkpoa_tpu.models.layers/gadgets; the Groth16
+setup/prover consume the sparse matrices produced here.
+
+Wire 0 is the constant 1 (circom convention). The witness vector is
+[1, publics..., privates...]; public wires are allocated first so the
+verifier-side IC indexing matches snarkjs semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+from ..fields.bn254 import R as P
+
+
+class LC:
+    """Linear combination over wires: sum coeff_i * w_i (+ const via wire 0)."""
+
+    __slots__ = ("terms",)
+
+    def __init__(self, terms: Optional[Dict[int, int]] = None):
+        self.terms = terms or {}
+
+    @classmethod
+    def const(cls, c: int) -> "LC":
+        c %= P
+        return cls({0: c} if c else {})
+
+    def __add__(self, other: "AnyLC") -> "LC":
+        other = _lc(other)
+        out = dict(self.terms)
+        for w, c in other.terms.items():
+            v = (out.get(w, 0) + c) % P
+            if v:
+                out[w] = v
+            else:
+                out.pop(w, None)
+        return LC(out)
+
+    def __sub__(self, other: "AnyLC") -> "LC":
+        return self + _lc(other) * (P - 1)
+
+    def __rsub__(self, other: "AnyLC") -> "LC":
+        return _lc(other) + self * (P - 1)
+
+    __radd__ = __add__
+
+    def __mul__(self, scalar: int) -> "LC":
+        scalar %= P
+        return LC({w: c * scalar % P for w, c in self.terms.items() if c * scalar % P})
+
+    __rmul__ = __mul__
+
+    def __neg__(self) -> "LC":
+        return self * (P - 1)
+
+
+class Signal(LC):
+    """A single wire, usable anywhere an LC is."""
+
+    __slots__ = ("wire", "circuit")
+
+    def __init__(self, circuit: "Circuit", wire: int):
+        super().__init__({wire: 1})
+        self.wire = wire
+        self.circuit = circuit
+
+    @property
+    def value(self) -> int:
+        return self.circuit.witness[self.wire]
+
+
+AnyLC = Union[LC, Signal, int]
+
+
+def _lc(x: AnyLC) -> LC:
+    if isinstance(x, LC):
+        return x
+    return LC.const(int(x))
+
+
+@dataclass
+class R1CS:
+    """Frozen constraint system: sparse rows as (constraint, wire, coeff)."""
+
+    n_wires: int
+    n_public: int  # count of public *input/output* wires (excl. wire 0)
+    a_rows: List[Tuple[int, int, int]]
+    b_rows: List[Tuple[int, int, int]]
+    c_rows: List[Tuple[int, int, int]]
+    n_constraints: int
+
+    def eval_matrices(self, witness: Sequence[int]):
+        """Return per-constraint <A,w>, <B,w>, <C,w> (exact host ints)."""
+        a = [0] * self.n_constraints
+        b = [0] * self.n_constraints
+        c = [0] * self.n_constraints
+        for i, w, coeff in self.a_rows:
+            a[i] = (a[i] + coeff * witness[w]) % P
+        for i, w, coeff in self.b_rows:
+            b[i] = (b[i] + coeff * witness[w]) % P
+        for i, w, coeff in self.c_rows:
+            c[i] = (c[i] + coeff * witness[w]) % P
+        return a, b, c
+
+    def is_satisfied(self, witness: Sequence[int]) -> bool:
+        a, b, c = self.eval_matrices(witness)
+        return all(ai * bi % P == ci for ai, bi, ci in zip(a, b, c))
+
+
+class Circuit:
+    """Eager builder: allocating a signal records its witness value; adding a
+    constraint records sparse rows and (optionally) checks satisfaction."""
+
+    def __init__(self, check: bool = True):
+        self.witness: List[int] = [1]
+        self._public_wires: List[int] = []
+        self.a_rows: List[Tuple[int, int, int]] = []
+        self.b_rows: List[Tuple[int, int, int]] = []
+        self.c_rows: List[Tuple[int, int, int]] = []
+        self.n_constraints = 0
+        self.check = check
+        self._finalized_public = False
+
+    # -- signals ---------------------------------------------------------
+
+    def var(self, value: int) -> Signal:
+        wire = len(self.witness)
+        self.witness.append(int(value) % P)
+        return Signal(self, wire)
+
+    def public(self, value: int) -> Signal:
+        """Allocate a public wire. Must be called before any private var
+        (snarkjs wire-ordering convention)."""
+        if len(self.witness) != len(self._public_wires) + 1:
+            raise RuntimeError("public signals must be allocated first")
+        sig = self.var(value)
+        self._public_wires.append(sig.wire)
+        return sig
+
+    def public_output(self) -> Signal:
+        """Allocate a public wire whose value is computed later (circom puts
+        outputs first in the wire order). Bind with bind_output()."""
+        if len(self.witness) != len(self._public_wires) + 1:
+            raise RuntimeError("public signals must be allocated first")
+        wire = len(self.witness)
+        self.witness.append(None)  # resolved by bind_output
+        self._public_wires.append(wire)
+        return Signal(self, wire)
+
+    def bind_output(self, sig: Signal, lc: AnyLC) -> None:
+        """Assign a public-output wire its computed value and constrain
+        equality sig == lc."""
+        if self.witness[sig.wire] is not None:
+            raise RuntimeError("output already bound")
+        self.witness[sig.wire] = self.eval_lc(lc)
+        self.assert_equal(sig, lc)
+
+    def eval_lc(self, lc: AnyLC) -> int:
+        lc = _lc(lc)
+        return sum(c * self.witness[w] for w, c in lc.terms.items()) % P
+
+    # -- constraints -----------------------------------------------------
+
+    def constrain(self, a: AnyLC, b: AnyLC, c: AnyLC) -> None:
+        """Add a*b = c."""
+        a, b, c = _lc(a), _lc(b), _lc(c)
+        i = self.n_constraints
+        for w, coeff in a.terms.items():
+            self.a_rows.append((i, w, coeff))
+        for w, coeff in b.terms.items():
+            self.b_rows.append((i, w, coeff))
+        for w, coeff in c.terms.items():
+            self.c_rows.append((i, w, coeff))
+        self.n_constraints += 1
+        if self.check:
+            va, vb, vc = self.eval_lc(a), self.eval_lc(b), self.eval_lc(c)
+            if va * vb % P != vc:
+                raise AssertionError(
+                    f"constraint {i} unsatisfied: {va} * {vb} != {vc}"
+                )
+
+    def assert_equal(self, a: AnyLC, b: AnyLC) -> None:
+        self.constrain(_lc(a) - _lc(b), LC.const(1), LC.const(0))
+
+    def mul(self, a: AnyLC, b: AnyLC) -> Signal:
+        """Allocate product signal with constraint a*b = out."""
+        out = self.var(self.eval_lc(a) * self.eval_lc(b) % P)
+        self.constrain(a, b, out)
+        return out
+
+    def add_lc(self, a: AnyLC, b: AnyLC) -> LC:
+        return _lc(a) + _lc(b)
+
+    # -- export ----------------------------------------------------------
+
+    def compile(self) -> Tuple[R1CS, List[int]]:
+        if any(v is None for v in self.witness):
+            raise RuntimeError("unbound public_output wire(s)")
+        r1cs = R1CS(
+            n_wires=len(self.witness),
+            n_public=len(self._public_wires),
+            a_rows=list(self.a_rows),
+            b_rows=list(self.b_rows),
+            c_rows=list(self.c_rows),
+            n_constraints=self.n_constraints,
+        )
+        return r1cs, list(self.witness)
+
+    @property
+    def public_values(self) -> List[int]:
+        return [self.witness[w] for w in self._public_wires]

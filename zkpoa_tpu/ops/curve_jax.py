@@ -1,0 +1,264 @@
+"""Batched elliptic-curve arithmetic on TPU (JAX limb substrate).
+
+Jacobian-coordinate point ops for short-Weierstrass curves with a = 0
+(BN254 G1: y^2=x^3+3, secp256k1: y^2=x^3+7), fully branchless so they
+vectorize over arbitrary batch dims: exceptional cases (infinity inputs,
+P == Q, P == -Q) are computed alongside and folded in with selects, the
+standard SIMD-crypto trick. These ops are the inner loop of the Pippenger
+MSM (zkpoa_tpu.ops.msm) that replaces rapidsnark's CPU MSMs
+(SURVEY.md §2.5 "rapidsnark prover" row).
+
+Points: (x, y, z) uint32 limb arrays [..., K] in Montgomery form;
+infinity <=> z == 0. Affine points use z == 1 (Montgomery one).
+
+G2 (Fp2 coordinates) composes these same formulas over the Fp2 limb ops in
+zkpoa_tpu.ops.fp2_jax via the generic `Arith` indirection below.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import limbs as L
+from .limbs import FieldSpec
+
+
+class Arith(NamedTuple):
+    """Field-arithmetic vtable so the same curve formulas serve Fp (limb
+    arrays) and Fp2 (pairs of limb arrays)."""
+
+    add: Callable
+    sub: Callable
+    mul: Callable
+    sqr: Callable
+    dbl: Callable  # x+x (cheaper than mul by 2)
+    is_zero: Callable
+    select: Callable  # (cond_batch, a, b)
+    zeros_like: Callable
+    one_like: Callable  # multiplicative identity broadcast to a's shape
+
+
+def fp_arith(spec: FieldSpec) -> Arith:
+    one_mont = jnp.asarray(spec.one_mont_limbs)
+    return Arith(
+        add=lambda a, b: L.add_mod(spec, a, b),
+        sub=lambda a, b: L.sub_mod(spec, a, b),
+        mul=lambda a, b: L.mont_mul(spec, a, b),
+        sqr=lambda a: L.mont_mul(spec, a, a),
+        dbl=lambda a: L.add_mod(spec, a, a),
+        is_zero=L.is_zero,
+        select=L.select,
+        zeros_like=jnp.zeros_like,
+        one_like=lambda a: jnp.broadcast_to(one_mont, a.shape),
+    )
+
+
+# A Jacobian point is a (x, y, z) tuple of field elements.
+Jac = Tuple[Any, Any, Any]
+
+
+def jac_double(ar: Arith, p: Jac) -> Jac:
+    """dbl-2009-l (a=0). Handles infinity (z=0 -> z3=0) and y=0 naturally."""
+    x, y, z = p
+    a = ar.sqr(x)
+    b = ar.sqr(y)
+    c = ar.sqr(b)
+    d = ar.sub(ar.sqr(ar.add(x, b)), ar.add(a, c))
+    d = ar.dbl(d)
+    e = ar.add(ar.dbl(a), a)
+    f = ar.sqr(e)
+    x3 = ar.sub(f, ar.dbl(d))
+    c8 = ar.dbl(ar.dbl(ar.dbl(c)))
+    y3 = ar.sub(ar.mul(e, ar.sub(d, x3)), c8)
+    z3 = ar.dbl(ar.mul(y, z))
+    return (x3, y3, z3)
+
+
+def jac_add(ar: Arith, p: Jac, q: Jac) -> Jac:
+    """Unified Jacobian add: correct for all inputs (branchless selects)."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    z1z1 = ar.sqr(z1)
+    z2z2 = ar.sqr(z2)
+    u1 = ar.mul(x1, z2z2)
+    u2 = ar.mul(x2, z1z1)
+    s1 = ar.mul(ar.mul(y1, z2), z2z2)
+    s2 = ar.mul(ar.mul(y2, z1), z1z1)
+    h = ar.sub(u2, u1)
+    r = ar.sub(s2, s1)
+    hh = ar.sqr(h)
+    hhh = ar.mul(h, hh)
+    v = ar.mul(u1, hh)
+    x3 = ar.sub(ar.sub(ar.sqr(r), hhh), ar.dbl(v))
+    y3 = ar.sub(ar.mul(r, ar.sub(v, x3)), ar.mul(s1, hhh))
+    z3 = ar.mul(ar.mul(z1, z2), h)
+    out = (x3, y3, z3)
+
+    p_inf = ar.is_zero(z1)
+    q_inf = ar.is_zero(z2)
+    same_x = ar.is_zero(h)
+    same_y = ar.is_zero(r)
+    is_double = jnp.logical_and(same_x, same_y)
+    is_cancel = jnp.logical_and(same_x, jnp.logical_not(same_y))
+
+    dbl = jac_double(ar, p)
+    zero = ar.zeros_like(z3)
+
+    def sel3(cond, a3, b3):
+        return tuple(ar.select(cond, ac, bc) for ac, bc in zip(a3, b3))
+
+    out = sel3(is_double, dbl, out)
+    # P == -Q -> infinity (zero z; x/y values irrelevant)
+    out = (out[0], out[1], ar.select(is_cancel, zero, out[2]))
+    # infinity operands are not covered by the generic formulas
+    out = sel3(jnp.logical_and(jnp.logical_not(p_inf), q_inf), p, out)
+    out = sel3(p_inf, q, out)
+    return out
+
+
+def jac_add_affine(ar: Arith, p: Jac, xq, yq, q_valid) -> Jac:
+    """Unified mixed add of an affine point (z=1 implied). q_valid is a batch
+    bool masking out absent points (treated as infinity)."""
+    x1, y1, z1 = p
+    z1z1 = ar.sqr(z1)
+    u2 = ar.mul(xq, z1z1)
+    s2 = ar.mul(ar.mul(yq, z1), z1z1)
+    h = ar.sub(u2, x1)
+    r = ar.sub(s2, y1)
+    hh = ar.sqr(h)
+    hhh = ar.mul(h, hh)
+    v = ar.mul(x1, hh)
+    x3 = ar.sub(ar.sub(ar.sqr(r), hhh), ar.dbl(v))
+    y3 = ar.sub(ar.mul(r, ar.sub(v, x3)), ar.mul(y1, hhh))
+    z3 = ar.mul(z1, h)
+    out = (x3, y3, z3)
+
+    p_inf = ar.is_zero(z1)
+    same_x = ar.is_zero(h)
+    same_y = ar.is_zero(r)
+    is_double = jnp.logical_and(same_x, same_y)
+    is_cancel = jnp.logical_and(same_x, jnp.logical_not(same_y))
+
+    dbl = jac_double(ar, p)
+    zero = ar.zeros_like(z3)
+    one = ar.one_like(z3)
+
+    def sel3(cond, a3, b3):
+        return tuple(ar.select(cond, ac, bc) for ac, bc in zip(a3, b3))
+
+    out = sel3(is_double, dbl, out)
+    out = (out[0], out[1], ar.select(is_cancel, zero, out[2]))
+    out = sel3(p_inf, (xq, yq, one), out)
+    out = sel3(jnp.logical_not(q_valid), p, out)
+    return out
+
+
+@dataclass(frozen=True)
+class CurveOps:
+    """Concrete curve ops bound to a base-field spec (Fp curves)."""
+
+    field: FieldSpec
+
+    def arith(self) -> Arith:
+        return fp_arith(self.field)
+
+    # ---- host <-> device ----
+
+    def encode_affine(self, points) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """points: list of (x, y) ints or None -> (x, y, valid) device arrays
+        in Montgomery form. Infinity entries get valid=False."""
+        xs, ys, valid = [], [], []
+        for pt in points:
+            if pt is None:
+                xs.append(0)
+                ys.append(0)
+                valid.append(False)
+            else:
+                xs.append(pt[0])
+                ys.append(pt[1])
+                valid.append(True)
+        return (
+            self.field.encode(xs),
+            self.field.encode(ys),
+            jnp.asarray(np.array(valid)),
+        )
+
+    def encode_jac(self, points) -> Jac:
+        x, y, valid = self.encode_affine(points)
+        one = jnp.broadcast_to(
+            jnp.asarray(self.field.one_mont_limbs), x.shape
+        )
+        z = jnp.where(valid[..., None], one, jnp.zeros_like(x))
+        return (x, y, z)
+
+    def decode_jac(self, p: Jac):
+        """Device Jacobian points -> list of affine int tuples (None = inf)."""
+        x = np.atleast_1d(self.field.decode(p[0])).reshape(-1)
+        y = np.atleast_1d(self.field.decode(p[1])).reshape(-1)
+        z = np.atleast_1d(self.field.decode(p[2])).reshape(-1)
+        out = []
+        mod = self.field.modulus
+        for xi, yi, zi in zip(x, y, z):
+            xi, yi, zi = int(xi), int(yi), int(zi)
+            if zi == 0:
+                out.append(None)
+                continue
+            zinv = pow(zi, -1, mod)
+            zinv2 = zinv * zinv % mod
+            out.append((xi * zinv2 % mod, yi * zinv2 % mod * zinv % mod))
+        return out
+
+    # ---- point ops (wrappers fixing the infinity-one constant) ----
+
+    def double(self, p: Jac) -> Jac:
+        return jac_double(self.arith(), p)
+
+    def add(self, p: Jac, q: Jac) -> Jac:
+        return jac_add(self.arith(), p, q)
+
+    def add_affine(self, p: Jac, xq, yq, q_valid) -> Jac:
+        return jac_add_affine(self.arith(), p, xq, yq, q_valid)
+
+    def infinity(self, batch_shape: Tuple[int, ...]) -> Jac:
+        k = self.field.n_limbs
+        shape = tuple(batch_shape) + (k,)
+        z = jnp.zeros(shape, dtype=jnp.uint32)
+        return (jnp.zeros_like(z), jnp.zeros_like(z), z)
+
+    def scalar_mul_batch(self, p: Jac, scalars: jnp.ndarray, n_bits: int) -> Jac:
+        return scalar_mul_batch(self, p, scalars, n_bits)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def scalar_mul_batch(ops, p: Jac, scalars: jnp.ndarray, n_bits: int) -> Jac:
+    """Batched double-and-add for any curve-ops object (Fp CurveOps or the
+    Fp2 G2Ops): scalars as plain uint32 16-bit limb arrays [..., K_s],
+    MSB-first over n_bits. fori_loop body keeps the compiled graph small."""
+    batch_shape = jnp.broadcast_shapes(scalars.shape[:-1])
+    acc = ops.infinity(batch_shape)
+
+    def body(i, acc):
+        bit = n_bits - 1 - i  # traced int32 scalar
+        limb = bit // L.LIMB_BITS
+        off = (bit % L.LIMB_BITS).astype(jnp.uint32)
+        word = jnp.take_along_axis(
+            scalars, jnp.broadcast_to(limb, scalars.shape[:-1])[..., None], axis=-1
+        )[..., 0]
+        bit_set = ((word >> off) & 1).astype(bool)
+        acc = ops.double(acc)
+        added = ops.add(acc, p)
+        return jax.tree.map(
+            lambda a, b: jnp.where(bit_set[..., None], a, b), added, acc
+        )
+
+    return jax.lax.fori_loop(0, n_bits, body, acc)
+
+
+BN254_G1 = CurveOps(L.BN254_FQ)
+SECP256K1 = CurveOps(L.SECP256K1_FQ)

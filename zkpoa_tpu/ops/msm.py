@@ -1,0 +1,206 @@
+"""Multi-scalar multiplication (Pippenger) on TPU — the core proving kernel.
+
+Replaces rapidsnark's CPU MSMs (the dominant cost of Groth16 proving,
+SURVEY.md §2.5/§6: ~1 min per 58M-constraint proof on 32 cores). Design is
+XLA-first rather than a translation of CPU/GPU bucket scatters:
+
+  * windows: scalars split into `c`-bit digits; ALL windows are processed
+    simultaneously as a leading axis (nw ~ 20 for 254-bit scalars, c=13),
+    so the device always has nw * 2^c independent bucket lanes in flight.
+  * conflict-free accumulation: points are argsorted by digit per window;
+    bucket b's points are then contiguous, and round r adds the r-th point
+    of every (window, bucket) pair at once — a gather + one batched
+    branchless mixed add per round. Rounds = max bucket occupancy (a
+    dynamic `lax.while_loop` bound), ~N/2^c for uniform scalars. Total
+    group-add work is N per window — Pippenger-optimal — with no scatter.
+  * bucket reduction: sum_b b*B_b = sum_{b>=1} suffix_b, computed with a
+    Hillis-Steele suffix scan over the bucket axis (log2(2^c) batched adds)
+    followed by a log-depth tree reduce.
+  * window combine: Horner over windows (fori_loop: c doublings + 1 add per
+    window — sequential but tiny).
+
+Coordinates are pytrees (arrays for G1, (c0, c1) tuples for G2), so the same
+kernel drives both the G1 MSMs (pi_A, pi_C, h-query) and the G2 MSM (pi_B).
+
+Multi-chip: points are sharded over the mesh; each shard runs this kernel
+and the (tiny) per-shard results are combined with jac_add after an
+all-gather (zkpoa_tpu.parallel.mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import limbs as L
+
+DEFAULT_WINDOW_BITS = 13
+
+
+def _tmap(fn, *trees):
+    return jax.tree.map(fn, *trees)
+
+
+def _extract_digits(scalars: jnp.ndarray, n_bits: int, c: int) -> jnp.ndarray:
+    """scalars: plain (non-Montgomery) 16-bit limbs uint32 [N, K_s] ->
+    digits uint32 [nw, N], digit_w = (s >> (c*w)) & (2^c - 1). Requires c <= 16."""
+    assert c <= L.LIMB_BITS
+    nw = (n_bits + c - 1) // c
+    mask = jnp.uint32((1 << c) - 1)
+    ks = scalars.shape[-1]
+    digs = []
+    for w in range(nw):
+        off = c * w
+        limb, sh = divmod(off, L.LIMB_BITS)
+        word = scalars[:, limb] >> sh
+        if sh > 0 and limb + 1 < ks:
+            word = word | (scalars[:, limb + 1] << (L.LIMB_BITS - sh))
+        digs.append(word & mask)
+    return jnp.stack(digs, axis=0)
+
+
+def msm_impl(
+    curve,
+    xs,  # coordinate pytree, leaves [N, K] Montgomery limbs
+    ys,
+    scalars: jnp.ndarray,  # [N, K_s] plain limbs
+    n_bits: int = 254,
+    c: int = DEFAULT_WINDOW_BITS,
+    point_valid: Optional[jnp.ndarray] = None,  # [N] bool; None = all valid
+):
+    """Returns sum_i scalars[i] * P_i as a single Jacobian point (batch ()).
+    Un-jitted body — call msm_device (jitted) or use inside shard_map."""
+    n = scalars.shape[0]
+    nw = (n_bits + c - 1) // c
+    n_buckets = 1 << c
+
+    digits = _extract_digits(scalars, n_bits, c)  # [nw, N]
+    if point_valid is not None:
+        digits = jnp.where(point_valid[None, :], digits, 0)
+
+    order = jnp.argsort(digits, axis=1, stable=True)  # [nw, N]
+    sorted_digits = jnp.take_along_axis(digits, order, axis=1)
+
+    bucket_ids = jnp.arange(n_buckets + 1, dtype=jnp.uint32)
+    starts = jax.vmap(lambda row: jnp.searchsorted(row, bucket_ids, side="left"))(
+        sorted_digits
+    )  # [nw, 2^c + 1]
+    b_start = starts[:, :-1]
+    b_end = starts[:, 1:]
+    counts = b_end - b_start
+    counts = counts.at[:, 0].set(0)  # bucket 0 contributes nothing
+    max_rounds = jnp.max(counts)
+
+    acc = curve.infinity((nw, n_buckets))
+    bucket_axis = jnp.arange(n_buckets, dtype=b_start.dtype)[None, :]
+
+    def round_body(state):
+        r, acc = state
+        pos = b_start + r  # [nw, 2^c]
+        valid = jnp.logical_and(pos < b_end, bucket_axis != 0)
+        pos_c = jnp.minimum(pos, n - 1).astype(jnp.int32)
+        pt_idx = jnp.take_along_axis(order, pos_c, axis=1)  # [nw, 2^c]
+        xg = _tmap(lambda a: a[pt_idx], xs)  # leaves [nw, 2^c, K]
+        yg = _tmap(lambda a: a[pt_idx], ys)
+        return (r + 1, curve.add_affine(acc, xg, yg, valid))
+
+    _, acc = jax.lax.while_loop(
+        lambda s: s[0] < max_rounds,
+        round_body,
+        (jnp.zeros((), dtype=max_rounds.dtype), acc),
+    )
+
+    # --- weighted bucket reduction: sum_b b * B_b = sum_{b>=1} suffix_b ---
+    # Both reductions are Hillis-Steele suffix scans with constant shapes
+    # (single add graph inside a fori_loop -> small compile).
+    inf_all = curve.infinity((nw, n_buckets))
+    bpos = jnp.arange(n_buckets, dtype=jnp.int32)[None, :]
+
+    def suffix_scan(p):
+        def step(st, p):
+            s = jnp.int32(1) << st
+            rolled = _tmap(lambda cd: jnp.roll(cd, -s, axis=1), p)
+            valid = jnp.broadcast_to(bpos + s < n_buckets, (nw, n_buckets))
+            shifted = _tmap(
+                lambda a, b: jnp.where(valid[..., None], a, b), rolled, inf_all
+            )
+            return curve.add(p, shifted)
+
+        return jax.lax.fori_loop(0, c, step, p)
+
+    suffix = suffix_scan(acc)  # suffix[:, b] = sum_{b' >= b} acc[b']
+    # zero out bucket 0 (its weight is 0), then a second suffix scan's
+    # column 0 is sum_{b >= 1} suffix_b = sum_b b * acc_b.
+    mask0 = jnp.broadcast_to(bpos == 0, (nw, n_buckets))
+    suffix = _tmap(lambda a, b: jnp.where(mask0[..., None], b, a), suffix, inf_all)
+    dsuffix = suffix_scan(suffix)
+    window_totals = _tmap(lambda cd: cd[:, 0], dsuffix)  # leaves [nw, ...]
+
+    # --- Horner combine over windows, high window first (fori_loop) ---
+    res = _tmap(lambda cd: cd[nw - 1], window_totals)
+
+    def horner_body(i, res):
+        w = nw - 2 - i
+        res = jax.lax.fori_loop(0, c, lambda _, p: curve.double(p), res)
+        wt = _tmap(lambda cd: cd[w], window_totals)
+        return curve.add(res, wt)
+
+    if nw > 1:
+        res = jax.lax.fori_loop(0, nw - 1, horner_body, res)
+    return res
+
+
+msm_device = jax.jit(msm_impl, static_argnums=(0, 4, 5))
+
+
+def scalars_to_limbs(scalars, n_limbs: int = 16) -> np.ndarray:
+    sc = np.zeros((len(scalars), n_limbs), dtype=np.uint32)
+    for i, s in enumerate(scalars):
+        s = int(s)
+        for j in range(n_limbs):
+            sc[i, j] = (s >> (L.LIMB_BITS * j)) & L.LIMB_MASK
+    return sc
+
+
+def auto_window_bits(n: int) -> int:
+    """Pippenger window size balancing accumulation rounds (~N/2^c per
+    window) against the 2*c*2^c suffix-scan bucket reduction."""
+    return max(2, min(DEFAULT_WINDOW_BITS, n.bit_length() - 4))
+
+
+def msm(
+    curve,
+    points,
+    scalars,
+    n_bits: int = 254,
+    c: Optional[int] = None,
+    min_pad: int = 64,
+):
+    """Host-friendly MSM: points = list of affine points (ints for G1,
+    int-pairs for G2; None = infinity), scalars = list of ints.
+
+    Inputs are padded to the next power of two (>= min_pad) with invalid
+    points so repeated calls of similar sizes reuse one compiled kernel,
+    and the window size adapts to N unless pinned."""
+    if len(points) != len(scalars):
+        raise ValueError("points/scalars length mismatch")
+    if not points:
+        return None
+    n = len(points)
+    n_pad = max(min_pad, 1 << (n - 1).bit_length())
+    if c is None:
+        c = auto_window_bits(n_pad)
+    xs, ys, valid = curve.encode_affine(points)
+    if n_pad > n:
+        pad = n_pad - n
+        xs = _tmap(lambda a: jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), xs)
+        ys = _tmap(lambda a: jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), ys)
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), dtype=valid.dtype)])
+    sc = np.zeros((n_pad, curve.field.n_limbs), dtype=np.uint32)
+    sc[:n] = scalars_to_limbs(scalars, curve.field.n_limbs)
+    res = msm_device(curve, xs, ys, jnp.asarray(sc), n_bits, c, point_valid=valid)
+    return curve.decode_jac(_tmap(lambda a: a[None], res))[0]

@@ -1,0 +1,83 @@
+"""Groth16 proving on TPU: witness -> proof.
+
+The online path that replaces rapidsnark's C++ prover (reference
+scripts/g16_prove.sh:246-252): QAP quotient h(X) via device NTTs
+(zkpoa_tpu.ops.ntt.quotient) and four MSMs (pi_A, pi_B1 G1; pi_B2 G2; pi_C
+over C-query + H-query) via the Pippenger kernel (zkpoa_tpu.ops.msm).
+
+Proof randomization (r, s) is deterministic-from-seed by default so tests
+are reproducible; pass secrets for real use. Output verifies under
+zkpoa_tpu.prover.groth16.verify and exports snarkjs-shaped JSON.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import bn254
+from ..fields.bn254 import R
+from ..models.r1cs import R1CS
+from ..ops import msm as msm_mod
+from ..ops.curve_jax import BN254_G1
+from ..ops.fp2_jax import BN254_G2
+from ..ops.limbs import BN254_FR
+from ..ops.ntt import quotient
+from .groth16 import Proof
+from .setup import ProvingKey
+
+
+def _rand_fr(seed: str, label: str) -> int:
+    h = hashlib.sha256(f"zkpoa-prove|{seed}|{label}".encode()).digest()
+    h += hashlib.sha256(h).digest()
+    return int.from_bytes(h, "big") % R
+
+
+def compute_h_coeffs(r1cs: R1CS, witness: Sequence[int], domain_size: int) -> List[int]:
+    """h(X) = (A·B - C)/Z coefficients via device NTTs."""
+    a_ev, b_ev, c_ev = r1cs.eval_matrices(witness)
+    m = domain_size
+    pad = [0] * (m - len(a_ev))
+    enc = BN254_FR.encode
+    h_m = quotient(enc(a_ev + pad), enc(b_ev + pad), enc(c_ev + pad))
+    return [int(x) for x in BN254_FR.decode(h_m)]
+
+
+def prove(
+    pk: ProvingKey,
+    r1cs: R1CS,
+    witness: Sequence[int],
+    seed: str = "zkpoa-proof",
+    r: Optional[int] = None,
+    s: Optional[int] = None,
+) -> Proof:
+    assert len(witness) == pk.n_vars
+    r = _rand_fr(seed, "r") if r is None else r % R
+    s = _rand_fr(seed, "s") if s is None else s % R
+
+    h_coeffs = compute_h_coeffs(r1cs, witness, pk.domain_size)
+
+    w = [int(x) % R for x in witness]
+    priv = w[pk.n_public + 1 :]
+
+    # G1 MSMs
+    a_acc = msm_mod.msm(BN254_G1, pk.a_query, w)
+    b1_acc = msm_mod.msm(BN254_G1, pk.b1_query, w)
+    c_acc = msm_mod.msm(BN254_G1, pk.c_query, priv)
+    h_acc = msm_mod.msm(BN254_G1, pk.h_query, h_coeffs[: len(pk.h_query)])
+    # G2 MSM
+    b2_acc = msm_mod.msm(BN254_G2, pk.b2_query, w)
+
+    g1 = bn254
+    pi_a = g1.g1_add(g1.g1_add(pk.alpha1, a_acc), g1.g1_mul(pk.delta1, r))
+    pi_b1 = g1.g1_add(g1.g1_add(pk.beta1, b1_acc), g1.g1_mul(pk.delta1, s))
+    pi_b2 = bn254.g2_add(bn254.g2_add(pk.beta2, b2_acc), bn254.g2_mul(pk.delta2, s))
+    pi_c = g1.g1_add(c_acc, h_acc)
+    pi_c = g1.g1_add(pi_c, g1.g1_mul(pi_a, s))
+    pi_c = g1.g1_add(pi_c, g1.g1_mul(pi_b1, r))
+    pi_c = g1.g1_add(pi_c, g1.g1_neg(g1.g1_mul(pk.delta1, r * s % R)))
+
+    return Proof(pi_a=pi_a, pi_b=pi_b2, pi_c=pi_c)

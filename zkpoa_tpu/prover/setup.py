@@ -1,0 +1,212 @@
+"""Groth16 trusted setup over BN254 for R1CS circuits built by the framework.
+
+Replaces the snarkjs `zkey new / contribute / export verificationkey` path
+(reference scripts/g16_setup.sh:240-294 — the reference's hottest offline
+stage: 34h + 290GB peak for the 48M-constraint layer-3 zkey). Here the QAP
+evaluation is exact host integer math (Lagrange basis at tau with batched
+inversion) and ALL the point generation — the actual exponentiations — runs
+on TPU via batched fixed-base scalar multiplication.
+
+SECURITY NOTE: this is a *development* setup: toxic waste (tau, alpha, beta,
+gamma, delta) is derived deterministically from a seed so tests are
+reproducible. A production MPC ceremony would feed the same ProvingKey
+structure; the prover only ever sees the point tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import bn254
+from ..fields.bn254 import R
+from ..models.r1cs import R1CS
+from ..ops import curve_jax, fp2_jax, msm as msm_mod
+from ..ops.curve_jax import BN254_G1
+from ..ops.fp2_jax import BN254_G2
+
+
+def _hash_to_fr(seed: str, label: str) -> int:
+    h = hashlib.sha256(f"zkpoa-srs|{seed}|{label}".encode()).digest()
+    h += hashlib.sha256(h).digest()
+    return int.from_bytes(h, "big") % R
+
+
+@dataclass
+class ProvingKey:
+    n_vars: int
+    n_public: int
+    domain_size: int
+    # G1 point tables (affine int tuples; None = infinity)
+    a_query: List
+    b1_query: List
+    c_query: List  # index k-(n_public+1) for private wires
+    h_query: List  # (tau^i * Z(tau) / delta) G1, i < domain_size - 1
+    alpha1: Tuple[int, int]
+    beta1: Tuple[int, int]
+    delta1: Tuple[int, int]
+    # G2
+    b2_query: List
+    beta2: Tuple
+    delta2: Tuple
+    vk_json: Dict
+
+
+def _batch_inv(vals: Sequence[int]) -> List[int]:
+    """Montgomery batched inversion mod R."""
+    n = len(vals)
+    prefix = [1] * (n + 1)
+    for i, v in enumerate(vals):
+        prefix[i + 1] = prefix[i] * v % R
+    inv_all = pow(prefix[n], -1, R)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv_all % R
+        inv_all = inv_all * vals[i] % R
+    return out
+
+
+def _pad_pow2(n: int, min_pad: int = 64) -> int:
+    """Batch sizes are padded to powers of two so different circuits reuse
+    the same compiled fixed-base kernels (zero scalars -> infinity, dropped)."""
+    return max(min_pad, 1 << (n - 1).bit_length())
+
+
+def _g1_points_from_scalars(scalars: Sequence[int]) -> List:
+    """[k_i * G1] via batched TPU double-and-add."""
+    n = len(scalars)
+    if n == 0:
+        return []
+    n_pad = _pad_pow2(n)
+    base = BN254_G1.encode_jac([bn254.G1_GEN] * n_pad)
+    sc = jnp.asarray(msm_mod.scalars_to_limbs(list(scalars) + [0] * (n_pad - n)))
+    return BN254_G1.decode_jac(BN254_G1.scalar_mul_batch(base, sc, 254))[:n]
+
+
+def _g2_points_from_scalars(scalars: Sequence[int]) -> List:
+    n = len(scalars)
+    if n == 0:
+        return []
+    n_pad = _pad_pow2(n)
+    base = BN254_G2.encode_jac([bn254.G2_GEN] * n_pad)
+    sc = jnp.asarray(msm_mod.scalars_to_limbs(list(scalars) + [0] * (n_pad - n)))
+    return BN254_G2.decode_jac(curve_jax.scalar_mul_batch(BN254_G2, base, sc, 254))[:n]
+
+
+def qap_evaluate_at_tau(r1cs: R1CS, tau: int, domain_size: int):
+    """Per-wire QAP poly evaluations A_k(tau), B_k(tau), C_k(tau) (exact).
+
+    Lagrange: L_i(tau) = Z(tau) * w^i / (m * (tau - w^i)); constraint i sits
+    on root w^i. Returns (a_t, b_t, c_t, z_tau) lists of length n_wires."""
+    from ..ops.ntt import domain_root
+
+    m = domain_size
+    log_m = m.bit_length() - 1
+    assert 1 << log_m == m
+    w = domain_root(log_m)
+    z_tau = (pow(tau, m, R) - 1) % R
+    if z_tau == 0:
+        raise ValueError("tau hit the domain; pick another seed")
+    # roots and denominators
+    roots = [1] * m
+    for i in range(1, m):
+        roots[i] = roots[i - 1] * w % R
+    denoms = [(tau - roots[i]) % R for i in range(m)]
+    denom_inv = _batch_inv(denoms)
+    m_inv = pow(m, -1, R)
+    lag = [z_tau * roots[i] % R * denom_inv[i] % R * m_inv % R for i in range(m)]
+
+    a_t = [0] * r1cs.n_wires
+    b_t = [0] * r1cs.n_wires
+    c_t = [0] * r1cs.n_wires
+    for i, wire, coeff in r1cs.a_rows:
+        a_t[wire] = (a_t[wire] + coeff * lag[i]) % R
+    for i, wire, coeff in r1cs.b_rows:
+        b_t[wire] = (b_t[wire] + coeff * lag[i]) % R
+    for i, wire, coeff in r1cs.c_rows:
+        c_t[wire] = (c_t[wire] + coeff * lag[i]) % R
+    return a_t, b_t, c_t, z_tau
+
+
+def setup(r1cs: R1CS, seed: str = "zkpoa-test-srs") -> ProvingKey:
+    tau = _hash_to_fr(seed, "tau")
+    alpha = _hash_to_fr(seed, "alpha")
+    beta = _hash_to_fr(seed, "beta")
+    gamma = _hash_to_fr(seed, "gamma")
+    delta = _hash_to_fr(seed, "delta")
+
+    m = 1
+    while m < max(r1cs.n_constraints, 2):
+        m <<= 1
+
+    a_t, b_t, c_t, z_tau = qap_evaluate_at_tau(r1cs, tau, m)
+
+    gamma_inv = pow(gamma, -1, R)
+    delta_inv = pow(delta, -1, R)
+    n_pub = r1cs.n_public
+    n_vars = r1cs.n_wires
+
+    # IC (public) and C-query (private) scalars
+    ic_scalars = [
+        (beta * a_t[k] + alpha * b_t[k] + c_t[k]) % R * gamma_inv % R
+        for k in range(n_pub + 1)
+    ]
+    c_scalars = [
+        (beta * a_t[k] + alpha * b_t[k] + c_t[k]) % R * delta_inv % R
+        for k in range(n_pub + 1, n_vars)
+    ]
+    # H-query scalars: tau^i * Z(tau) / delta
+    h_scalars = []
+    t_pow = z_tau * delta_inv % R
+    for _ in range(m - 1):
+        h_scalars.append(t_pow)
+        t_pow = t_pow * tau % R
+
+    # --- all point generation on TPU (batched fixed-base) ---
+    g1_scalars = (
+        a_t + b_t + c_scalars + h_scalars + ic_scalars + [alpha, beta, delta]
+    )
+    g1_pts = _g1_points_from_scalars(g1_scalars)
+    o = 0
+    a_query = g1_pts[o : o + n_vars]; o += n_vars
+    b1_query = g1_pts[o : o + n_vars]; o += n_vars
+    c_query = g1_pts[o : o + len(c_scalars)]; o += len(c_scalars)
+    h_query = g1_pts[o : o + len(h_scalars)]; o += len(h_scalars)
+    ic_pts = g1_pts[o : o + len(ic_scalars)]; o += len(ic_scalars)
+    alpha1, beta1, delta1 = g1_pts[o], g1_pts[o + 1], g1_pts[o + 2]
+
+    g2_pts = _g2_points_from_scalars(b_t + [beta, gamma, delta])
+    b2_query = g2_pts[:n_vars]
+    beta2, gamma2, delta2 = g2_pts[n_vars], g2_pts[n_vars + 1], g2_pts[n_vars + 2]
+
+    from .groth16 import VerifyingKey
+
+    vk = VerifyingKey(
+        alpha_1=alpha1,
+        beta_2=beta2,
+        gamma_2=gamma2,
+        delta_2=delta2,
+        ic=ic_pts,
+        n_public=n_pub,
+    )
+
+    return ProvingKey(
+        n_vars=n_vars,
+        n_public=n_pub,
+        domain_size=m,
+        a_query=a_query,
+        b1_query=b1_query,
+        c_query=c_query,
+        h_query=h_query,
+        alpha1=alpha1,
+        beta1=beta1,
+        delta1=delta1,
+        b2_query=b2_query,
+        beta2=beta2,
+        delta2=delta2,
+        vk_json=vk.to_json(),
+    )
