@@ -20,10 +20,124 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Sequence, Tuple
 
+from .gadgets import bigint as B
+from .gadgets import ec as E
 from .gadgets.core import assert_less_than
 from .gadgets.merkle_gadget import merkle_verify
-from .gadgets.poseidon_gadget import poseidon
+from .gadgets.poseidon_gadget import poseidon, poseidon_sponge
 from .r1cs import Circuit, R1CS
+
+
+@dataclass
+class LayerOneInput:
+    """One signature's registers, in the reference's 64x4 limb layout
+    (circuits/layer_one.circom:19-23; little-endian limbs)."""
+
+    r: List[int]
+    rprime: List[int]
+    s: List[int]
+    msghash: List[int]
+    pubkey: List[List[int]]  # [x_limbs, y_limbs]
+
+    @classmethod
+    def from_json_entry(cls, d: dict, i: int) -> "LayerOneInput":
+        g = lambda key: [int(x) for x in d[key][i]]
+        return cls(
+            r=g("r"),
+            rprime=g("rprime"),
+            s=g("s"),
+            msghash=g("msghash"),
+            pubkey=[[int(x) for x in d["pubkey"][i][0]], [int(x) for x in d["pubkey"][i][1]]],
+        )
+
+
+def layer_one_circuit(sigs: Sequence[LayerOneInput], check: bool = False) -> Circuit:
+    """LayerOne(num_sigs): verify every ECDSA* signature in-circuit and
+    output the Poseidon sponge of the pubkey x-coordinate registers.
+
+    Statement parity with circuits/layer_one.circom: same input registers,
+    same single public output `pubkey_x_coord_hash` = PoseidonSponge over
+    num_sigs*4 x-coord limbs (circuits/layer_one.circom:54-63). The
+    verification core is ECDSA* for every batch size (the reference's
+    single-sig path drops the rprime pin; ours keeps it — strictly
+    stronger, same valid-witness set for honest signatures)."""
+    c = Circuit(check=check)
+    out = c.public_output()
+
+    fr, fq = B.SECP_FR, B.SECP_FQ
+    sponge_inputs = []
+    for i, sig in enumerate(sigs):
+        r_sigs = [c.var(v) for v in sig.r]
+        rp_sigs = [c.var(v) for v in sig.rprime]
+        s_sigs = [c.var(v) for v in sig.s]
+        m_sigs = [c.var(v) for v in sig.msghash]
+        px_sigs = [c.var(v) for v in sig.pubkey[0]]
+        py_sigs = [c.var(v) for v in sig.pubkey[1]]
+
+        f_r = B.ff_input(c, fr, r_sigs, sig.r)
+        f_rp = B.ff_input(c, fq, rp_sigs, sig.rprime)
+        f_s = B.ff_input(c, fr, s_sigs, sig.s)
+        f_m = B.ff_input(c, fr, m_sigs, sig.msghash)
+        pub = E.ECPoint(
+            B.ff_input(c, fq, px_sigs, sig.pubkey[0]),
+            B.ff_input(c, fq, py_sigs, sig.pubkey[1]),
+        )
+        E.ecdsa_star_verify(c, f_r, f_rp, f_s, f_m, pub, tag=f"sig{i}")
+        sponge_inputs.extend(px_sigs)
+
+    c.bind_output(out, poseidon_sponge(c, sponge_inputs))
+    return c
+
+
+def layer_three_circuit(
+    balances: Sequence[int],
+    merkle_root: int,
+    blinding_factor: int,
+    check: bool = False,
+) -> Circuit:
+    """LayerThree(layer_two_count): sum the per-batch balances and commit to
+    the total with a Curve25519 Pedersen commitment.
+
+    Statement parity with circuits/layer_three.circom: public signals are
+    the 12 commitment registers (4 extended coords x 3 x 85-bit limbs,
+    circuits/layer_three.circom:64-80) followed by the public merkle_root;
+    balances and the 255 blinding bits are private. Projective coordinates
+    are algorithm-dependent, so parity is point equality (the reference's
+    own checker semantics, scripts/pedersen_commitment_checker.ts:58-63).
+
+    The in-snark verification of the layer-2 proofs (verifyProof loop,
+    circuits/layer_three.circom:41-48) binds `balances` to real proofs; it
+    lands with the recursive-verifier gadget (see models/gadgets roadmap) —
+    until then this circuit covers the aggregation + commitment statement.
+    """
+    from .gadgets import edwards as Ed
+    from .gadgets.core import num2bits
+
+    c = Circuit(check=check)
+    out_regs = [c.public_output() for _ in range(12)]
+    root = c.public(merkle_root)
+    _ = root  # bound to layer-2 verification when the recursion gadget lands
+
+    bal_sigs = [c.var(b) for b in balances]
+    total_lc = bal_sigs[0]
+    total = balances[0]
+    for b_sig, b in zip(bal_sigs[1:], balances[1:]):
+        total_lc = total_lc + b_sig
+        total += b
+
+    secret_bits = num2bits(c, total_lc, 255)
+    secret_vals = [(total >> i) & 1 for i in range(255)]
+
+    blind_vals = [(blinding_factor >> i) & 1 for i in range(255)]
+    blind_bits = [c.var(v) for v in blind_vals]
+    for b_sig in blind_bits:
+        c.constrain(b_sig, b_sig - 1, 0)
+
+    com = Ed.pedersen_commitment_gadget(c, secret_bits, secret_vals, blind_bits, blind_vals)
+    for ci, coord in enumerate((com.x, com.y, com.z, com.t)):
+        for li in range(3):
+            c.bind_output(out_regs[ci * 3 + li], coord.limbs[li])
+    return c
 
 
 @dataclass
