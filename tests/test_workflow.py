@@ -1,0 +1,74 @@
+"""End-to-end workflow test: deterministic fixtures -> batched proving
+(accounting mode) -> layer-3 aggregation -> Pedersen commitment assertion,
+with real Groth16 proofs at every layer (the reference's
+tests/N_sigs_K_batches_H_height.sh harness pattern)."""
+
+import json
+import os
+
+import pytest
+
+import tests.conftest as cft  # noqa: F401
+from zkpoa_tpu.fields import curve25519 as C
+from zkpoa_tpu.pipeline import fixtures, planner
+from zkpoa_tpu.pipeline.workflow import run_workflow
+from zkpoa_tpu.prover import groth16
+
+
+def test_batch_planner_matches_reference_math():
+    # num_sigs >= ideal: remainder minimized
+    assert planner.batch_size(10, 4) in (3, 4, 5)
+    p = planner.plan(10, 4)
+    assert sum(p.batch_sizes()) == 10
+    assert planner.plan(3, 8).batch_size == 3  # fewer sigs than ideal
+    assert planner.merkle_height(10) == 5  # ceil(log2(10)) + 1
+
+
+def test_fixture_signatures_roundtrip(tmp_path):
+    sigs = tmp_path / "sigs.json"
+    anon = tmp_path / "anon.csv"
+    fixtures.write_fixtures(3, str(sigs), str(anon), extra=13)
+    from zkpoa_tpu.pipeline.sigs import parse_signatures_file
+
+    atts = parse_signatures_file(str(sigs))
+    assert len(atts) == 3
+    assert atts[0].address < atts[1].address < atts[2].address
+
+
+@pytest.mark.slow
+def test_workflow_end_to_end_accounting(tmp_path):
+    sigs = tmp_path / "sigs.json"
+    anon = tmp_path / "anon.csv"
+    fixtures.write_fixtures(4, str(sigs), str(anon), extra=12)
+    blind = 0xB11DD1E5
+
+    res = run_workflow(
+        str(sigs),
+        str(anon),
+        blind,
+        build_root=str(tmp_path / "build"),
+        ideal_batch_size=2,
+        mode="accounting",
+        zkey_cache=str(tmp_path / "zkeys"),
+    )
+    assert res.num_batches == 2
+    # artifacts exist and verify independently
+    for bi in range(res.num_batches):
+        bdir = os.path.join(res.build_dir, f"batch_{bi}")
+        assert groth16.verify_files(
+            os.path.join(bdir, "layer_two_vkey.json"),
+            os.path.join(bdir, "proof.json"),
+            os.path.join(bdir, "public.json"),
+        )
+    l3 = os.path.join(res.build_dir, "layer_three")
+    assert groth16.verify_files(
+        os.path.join(l3, "layer_three_vkey.json"),
+        os.path.join(l3, "proof.json"),
+        os.path.join(l3, "public.json"),
+    )
+    # the commitment commits to the true balance sum
+    expected = C.pedersen_commitment(res.balance_sum, blind)
+    assert C.point_equal(res.commitment, expected)
+    # balance sum equals the fixture balances
+    atts = json.load(open(sigs))
+    assert res.balance_sum == sum(int(e["balance"]) for e in atts)

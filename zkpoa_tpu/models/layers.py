@@ -89,6 +89,100 @@ def layer_one_circuit(sigs: Sequence[LayerOneInput], check: bool = False) -> Cir
     return c
 
 
+@dataclass
+class LayerTwoInput:
+    """Reference layer-2 input shape (layer_two_batch_N_input.json):
+    the sanitized layer-1 proof registers, pubkeys, and Merkle data."""
+
+    pubkey_x_coord_hash: int
+    pubkeys: List[List[List[int]]]  # [n][2][4] 64-bit limbs
+    merkle_root: int
+    leaf_addresses: List[int]
+    leaf_balances: List[int]
+    path_elements: List[List[int]]
+    path_indices: List[List[int]]
+    # sanitized proof registers (in-snark verification inputs; bound when
+    # the recursive-verifier gadget lands)
+    proof: dict | None = None
+
+    @classmethod
+    def from_json(cls, d: dict) -> "LayerTwoInput":
+        n = len(d["pubkey"])
+        return cls(
+            pubkey_x_coord_hash=int(d["pubkey_x_coord_hash"]),
+            pubkeys=[[[int(x) for x in reg] for reg in pk] for pk in d["pubkey"]],
+            merkle_root=int(d["merkle_root"]),
+            leaf_addresses=[int(x) for x in d["leaf_addresses"]],
+            leaf_balances=[int(x) for x in d["leaf_balances"]],
+            path_elements=[[int(x) for x in row] for row in d["path_elements"]],
+            path_indices=[[int(x) for x in row] for row in d["path_indices"]],
+            proof={
+                k: d[k]
+                for k in ("negalfa1xbeta2", "gamma2", "delta2", "IC", "negpa", "pb", "pc")
+                if k in d
+            },
+        )
+
+
+def layer_two_circuit(inp: LayerTwoInput, tree_height: int, check: bool = False) -> Circuit:
+    """LayerTwo(num_sigs, merkle_tree_height) accounting core: constrain the
+    Poseidon sponge of the pubkey x-coord registers to the claimed layer-1
+    public input, derive each Ethereum address in-circuit (Keccak-256),
+    enforce strictly-ascending addresses (the reference only asserts this at
+    witness time, circuits/layer_two.circom:78-87 — ours is a constraint),
+    verify Poseidon-Merkle inclusion of every (address, balance) leaf, and
+    output the balance sum. Public signals: [balance_sum, merkle_root].
+
+    The in-snark verification of the layer-1 proof
+    (circuits/layer_two.circom:44-49) lands with the recursive-verifier
+    gadget; pubkey_x_coord_hash is carried as the same private input."""
+    from .gadgets import bigint as B
+    from .gadgets.keccak_gadget import pubkey_to_address_gadget
+    from .gadgets.poseidon_gadget import poseidon_sponge
+
+    n = len(inp.pubkeys)
+    levels = tree_height - 1
+    c = Circuit(check=check)
+    out = c.public_output()
+    root = c.public(inp.merkle_root)
+
+    hash_sig = c.var(inp.pubkey_x_coord_hash)
+
+    from .gadgets.core import num2bits
+
+    addr_lcs = []
+    sponge_inputs = []
+    for i in range(n):
+        px = [c.var(v) for v in inp.pubkeys[i][0]]
+        py = [c.var(v) for v in inp.pubkeys[i][1]]
+        # num2bits is both the 64-bit range check and the FlattenPubkey
+        # bit supply for the Keccak address derivation (circuits/eth.circom)
+        x_bits = [num2bits(c, px[j], 64) for j in range(4)]
+        y_bits = [num2bits(c, py[j], 64) for j in range(4)]
+        addr_lcs.append(pubkey_to_address_gadget(c, x_bits, y_bits))
+        sponge_inputs.extend(px)
+
+    c.assert_equal(poseidon_sponge(c, sponge_inputs), hash_sig)
+
+    total = None
+    addr_sigs = []
+    for i in range(n):
+        addr = c.var(inp.leaf_addresses[i])
+        bal = c.var(inp.leaf_balances[i])
+        c.assert_equal(addr_lcs[i], addr)
+        leaf = poseidon(c, [addr, bal])
+        path_el = [c.var(x) for x in inp.path_elements[i][:levels]]
+        path_ix = [c.var(x) for x in inp.path_indices[i][:levels]]
+        merkle_verify(c, leaf, root, path_el, path_ix)
+        total = bal if total is None else total + bal
+        addr_sigs.append(addr)
+        if i > 0:
+            assert_less_than(c, addr_sigs[i - 1], addr, 160)
+
+    c.bind_output(out, total if total is not None else 0)
+    return c
+
+
 def layer_three_circuit(
     balances: Sequence[int],
     merkle_root: int,

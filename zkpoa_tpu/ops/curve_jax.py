@@ -215,14 +215,39 @@ class CurveOps:
         return out
 
     # ---- point ops (wrappers fixing the infinity-one constant) ----
+    # On TPU backends these dispatch to the fused Pallas kernels (whole
+    # point formula resident in VMEM, ~30x fewer HBM passes); the jnp
+    # path is the CPU/test fallback and the bit-exact reference.
+
+    def _use_pallas(self) -> bool:
+        import os
+
+        flag = os.environ.get("ZKPOA_PALLAS", "auto")
+        if flag == "0":
+            return False
+        if flag == "1":
+            return True
+        return jax.default_backend() != "cpu"
 
     def double(self, p: Jac) -> Jac:
+        if self._use_pallas():
+            from . import pallas_field as PF
+
+            return PF.jac_double_tpu(self.field, p)
         return jac_double(self.arith(), p)
 
     def add(self, p: Jac, q: Jac) -> Jac:
+        if self._use_pallas():
+            from . import pallas_field as PF
+
+            return PF.jac_add_tpu(self.field, p, q)
         return jac_add(self.arith(), p, q)
 
     def add_affine(self, p: Jac, xq, yq, q_valid) -> Jac:
+        if self._use_pallas():
+            from . import pallas_field as PF
+
+            return PF.jac_add_affine_tpu(self.field, p, xq, yq, q_valid)
         return jac_add_affine(self.arith(), p, xq, yq, q_valid)
 
     def infinity(self, batch_shape: Tuple[int, ...]) -> Jac:
@@ -258,6 +283,97 @@ def scalar_mul_batch(ops, p: Jac, scalars: jnp.ndarray, n_bits: int) -> Jac:
         )
 
     return jax.lax.fori_loop(0, n_bits, body, acc)
+
+
+def _host_mul(curve_host_add, pt, k):
+    acc = None
+    while k:
+        if k & 1:
+            acc = curve_host_add(acc, pt)
+        pt = curve_host_add(pt, pt)
+        k >>= 1
+    return acc
+
+
+_FB_TABLE_CACHE = {}
+
+
+def fixed_base_table(curve_name: str, base, host_add, n_bits: int, w: int):
+    """Windowed fixed-base table: table[j][e] = (e << (w*j)) * base affine,
+    cached per (curve, base, w) in-process and on disk. Entry 0 is a dummy
+    (masked out by valid=False at gather time)."""
+    import os
+
+    key = (curve_name, str(base), n_bits, w)
+    if key in _FB_TABLE_CACHE:
+        return _FB_TABLE_CACHE[key]
+    nwin = (n_bits + w - 1) // w
+    cache_dir = os.path.join(os.path.dirname(__file__), "_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    import hashlib
+
+    digest = hashlib.sha256(repr(key).encode()).hexdigest()[:16]
+    path = os.path.join(cache_dir, f"fbtab_{curve_name}_{digest}.npy")
+    if os.path.exists(path):
+        table = np.load(path, allow_pickle=True)
+    else:
+        table = np.empty((nwin, 1 << w), dtype=object)
+        row_base = base
+        for j in range(nwin):
+            acc = None
+            table[j][0] = None
+            for e in range(1, 1 << w):
+                acc = host_add(acc, row_base)
+                table[j][e] = acc
+            for _ in range(w):
+                row_base = host_add(row_base, row_base)
+        np.save(path, table, allow_pickle=True)
+    _FB_TABLE_CACHE[key] = table
+    return table
+
+
+def fixed_base_mul_batch(
+    ops, curve_name: str, base, host_add, scalars: jnp.ndarray, n_bits: int, w: int = 8
+):
+    """Batched fixed-base scalar mult via windowed table gathers: nwin
+    mixed additions instead of n_bits double-and-adds (~16x less work, and
+    each step is a big batched op). scalars: [N, K_s] plain 16-bit limbs."""
+    assert w in (4, 8, 16) and L.LIMB_BITS % w == 0
+    table = fixed_base_table(curve_name, base, host_add, n_bits, w)
+    nwin = table.shape[0]
+    # encode table coords once (device-resident constants), rows [nwin, 2^w, ...]
+    flat = [pt for row in table for pt in row]
+    xs_t, ys_t, valid_t = ops.encode_affine(flat)
+    xs_t = jax.tree.map(lambda a: a.reshape((nwin, 1 << w) + a.shape[1:]), xs_t)
+    ys_t = jax.tree.map(lambda a: a.reshape((nwin, 1 << w) + a.shape[1:]), ys_t)
+    valid_t = valid_t.reshape(nwin, 1 << w)
+    return _fb_fold(ops, xs_t, ys_t, valid_t, scalars, n_bits, w)
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6))
+def _fb_fold(ops, xs_t, ys_t, valid_t, scalars, n_bits: int, w: int):
+    nwin = (n_bits + w - 1) // w
+    n = scalars.shape[0]
+    per_limb = L.LIMB_BITS // w
+    digs = []
+    for j in range(nwin):
+        limb = j // per_limb
+        sh = (j % per_limb) * w
+        digs.append((scalars[:, limb] >> sh) & jnp.uint32((1 << w) - 1))
+    digits = jnp.stack(digs, axis=0)  # [nwin, N]
+
+    acc0 = ops.infinity((n,))
+
+    def step(acc, xs):
+        dig, xt, yt, vt = xs
+        idx = dig.astype(jnp.int32)
+        xg = jax.tree.map(lambda a: a[idx], xt)
+        yg = jax.tree.map(lambda a: a[idx], yt)
+        vg = vt[idx]
+        return ops.add_affine(acc, xg, yg, vg), None
+
+    acc, _ = jax.lax.scan(step, acc0, (digits, xs_t, ys_t, valid_t))
+    return acc
 
 
 BN254_G1 = CurveOps(L.BN254_FQ)

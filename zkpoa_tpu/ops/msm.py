@@ -166,6 +166,54 @@ def scalars_to_limbs(scalars, n_limbs: int = 16) -> np.ndarray:
     return sc
 
 
+def _host_add_for(curve):
+    """Host group-add for the curve ops object (exact Python ints)."""
+    from ..fields import bn254
+
+    name = curve.field.name
+    if name == "bn254_fq":
+        # G1 (CurveOps over Fp) vs G2 (G2Ops over Fp2) share the field spec;
+        # distinguish by the ops type
+        from .fp2_jax import G2Ops
+
+        return bn254.g2_add if isinstance(curve, G2Ops) else bn254.g1_add
+    if name == "secp256k1_fq":
+        from ..fields import secp256k1
+
+        return secp256k1.add
+    raise ValueError(f"no host add for curve field {name}")
+
+
+def host_msm(curve, points, scalars, c: int = 8):
+    """Exact host Pippenger (Python ints). Used as the small-N path on the
+    CPU backend, where compiling the device kernel costs more than the MSM."""
+    add = _host_add_for(curve)
+    n_bits = 256
+    nw = (n_bits + c - 1) // c
+    result = None
+    for w in range(nw - 1, -1, -1):
+        if result is not None:
+            for _ in range(c):
+                result = add(result, result)
+        buckets = [None] * (1 << c)
+        for pt, s in zip(points, scalars):
+            if pt is None:
+                continue
+            d = (int(s) >> (c * w)) & ((1 << c) - 1)
+            if d:
+                buckets[d] = add(buckets[d], pt)
+        run = None
+        acc = None
+        for b in range((1 << c) - 1, 0, -1):
+            run = add(run, buckets[b])
+            acc = add(acc, run)
+        result = add(result, acc)
+    return result
+
+
+HOST_MSM_MAX_N_CPU = 1 << 14
+
+
 def auto_window_bits(n: int) -> int:
     """Pippenger window size balancing accumulation rounds (~N/2^c per
     window) against the 2*c*2^c suffix-scan bucket reduction."""
@@ -191,6 +239,9 @@ def msm(
     if not points:
         return None
     n = len(points)
+    if jax.default_backend() == "cpu" and n <= HOST_MSM_MAX_N_CPU:
+        # device-kernel compiles dwarf the MSM itself at this size on CPU
+        return host_msm(curve, points, [int(s) for s in scalars])
     n_pad = max(min_pad, 1 << (n - 1).bit_length())
     if c is None:
         c = auto_window_bits(n_pad)

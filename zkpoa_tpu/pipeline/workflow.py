@@ -1,0 +1,357 @@
+"""End-to-end proof-of-assets workflow: the orchestrator.
+
+Role of the reference's scripts/full_workflow.sh (SURVEY.md §3.1): parse the
+custodian's signatures, plan batches, build the anonymity-set Merkle tree,
+prove each batch through layers 1-2, aggregate with layer 3, and run the
+final Pedersen-commitment assertion. Differences by design:
+
+  * everything is one Python process driving TPU kernels (no file-handoff
+    subprocess pipeline); files are still written at each stage in the
+    reference's JSON shapes so artifacts stay interoperable;
+  * proving keys come from the deterministic dev setup with an on-disk
+    cache keyed by circuit shape (the reference's zkeys/ cache);
+  * `mode="accounting"` proves the membership/aggregation statements only
+    (fast, CI-friendly); `mode="full"` builds the complete layer-1/2
+    circuits (in-circuit ECDSA* + Keccak address derivation) — TPU-scale.
+    The in-snark recursive verification of lower-layer proofs lands with
+    the recursive-verifier gadget (models/gadgets roadmap); until then
+    every layer's proof is verified by the host pairing verifier
+    (the role snarkjs plays in the reference, scripts/g16_verify.sh).
+
+CLI mirrors the reference's 3-argument contract (full_workflow.sh:43):
+    python -m zkpoa_tpu.pipeline.workflow <sigs.json> <anon_set.csv> <blind>
+        [-b BUILD_DIR] [-p IDEAL_BATCH_SIZE] [-m MODE] [-z ZKEY_CACHE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from ..fields import curve25519 as C
+from ..merkle.tree import MerkleTree, find_owned_indices
+from ..models.layers import (
+    LayerOneInput,
+    LayerTwoInput,
+    MembershipWitnessInput,
+    layer_one_circuit,
+    layer_three_circuit,
+    layer_two_circuit,
+    membership_sum_circuit,
+)
+from ..ops import poseidon as poseidon_host
+from ..prover import groth16
+from ..prover.cache import cached_setup
+from ..prover.prove import prove
+from ..utils.serde import to_limbs_64x4
+from . import planner
+from .pedersen_check import check_commitment, dechunk_commitment
+from .sanitize import sanitize
+from .sigs import AccountAttestation, layer_one_input, parse_signatures_file
+
+
+@dataclass
+class WorkflowResult:
+    build_dir: str
+    num_sigs: int
+    num_batches: int
+    merkle_height: int
+    merkle_root: int
+    balance_sum: int
+    commitment: tuple
+    layer_three_public: List[int]
+    timings: Dict[str, float] = field(default_factory=dict)
+
+
+def _log(msg: str) -> None:
+    print(f"[zkpoa] {msg}", flush=True)
+
+
+class Stage:
+    """Stage banner + wall-time stats (the reference's cmd_executor
+    `execute` instrumentation, scripts/lib/cmd_executor.sh:6-19)."""
+
+    def __init__(self, timings: Dict[str, float], name: str):
+        self.timings = timings
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.time()
+        _log(f"=== {self.name} ...")
+        return self
+
+    def __exit__(self, *exc):
+        dt = time.time() - self.t0
+        self.timings[self.name] = self.timings.get(self.name, 0.0) + dt
+        _log(f"=== {self.name} done in {dt:.2f}s")
+        return False
+
+
+def load_anon_set(path: str):
+    """CSV with header 'address,...' rows of (hex address, balance)."""
+    addresses, balances = [], []
+    with open(path) as f:
+        rows = list(csv.reader(f))
+    for row in rows[1:]:
+        if not row:
+            continue
+        addresses.append(int(row[0], 16))
+        balances.append(int(row[1]))
+    order = sorted(range(len(addresses)), key=lambda i: addresses[i])
+    return [addresses[i] for i in order], [balances[i] for i in order]
+
+
+def run_workflow(
+    sigs_path: str,
+    anon_set_path: str,
+    blinding_factor: int,
+    build_root: str = "build",
+    ideal_batch_size: int = 2,
+    mode: str = "accounting",
+    zkey_cache: Optional[str] = None,
+    tree_height: Optional[int] = None,
+    setup_seed: str = "zkpoa-test-srs",
+) -> WorkflowResult:
+    timings: Dict[str, float] = {}
+
+    # -- input preparation (reference L4) ---------------------------------
+    with Stage(timings, "parse signatures"):
+        atts = parse_signatures_file(sigs_path)
+    with Stage(timings, "load anonymity set"):
+        anon_addrs, anon_bals = load_anon_set(anon_set_path)
+
+    n = len(atts)
+    bplan = planner.plan(n, ideal_batch_size)
+    height = tree_height or planner.merkle_height(len(anon_addrs))
+    build_dir = os.path.join(
+        build_root, f"{n}_sigs_{bplan.num_batches}_batches_{height}_height"
+    )
+    os.makedirs(build_dir, exist_ok=True)
+    _log(
+        f"{n} sigs, batch size {bplan.batch_size} x {bplan.num_batches} batches"
+        f" (remainder {bplan.remainder}), tree height {height}, mode={mode}"
+    )
+
+    # -- Merkle engine (reference L5, the Rust merkle-tree binary) --------
+    with Stage(timings, "merkle tree build"):
+        tree = MerkleTree.build(anon_addrs, anon_bals, height)
+        root = tree.root()
+        tree.write_root(os.path.join(build_dir, "merkle_root.json"))
+        owned_idx = find_owned_indices(anon_addrs, [a.address for a in atts])
+        proofs = {i: tree.prove(idx) for i, idx in enumerate(owned_idx)}
+        tree.write_proofs(owned_idx, os.path.join(build_dir, "merkle_proofs.json"))
+
+    # -- per-batch layers 1+2 (reference prove_layers_one_two) ------------
+    batch_balance_sums: List[int] = []
+    l2_sanitized: List[dict] = []
+    for bi in range(bplan.num_batches):
+        start, end = bplan.batch_range(bi)
+        batch = atts[start:end]
+        bdir = os.path.join(build_dir, f"batch_{bi}")
+        os.makedirs(bdir, exist_ok=True)
+
+        if mode == "full":
+            with Stage(timings, f"layer1 prove batch {bi}"):
+                l1_inp_json = layer_one_input(batch)
+                with open(os.path.join(bdir, "layer_one_input.json"), "w") as f:
+                    json.dump(l1_inp_json, f)
+                sigs = [
+                    LayerOneInput.from_json_entry(l1_inp_json, i)
+                    for i in range(len(batch))
+                ]
+                c1 = layer_one_circuit(sigs)
+                r1, w1 = c1.compile()
+                pk1 = cached_setup(
+                    r1, zkey_cache, f"layer_one_{len(batch)}_sigs", seed=setup_seed
+                )
+                proof1 = prove(pk1, r1, w1, seed=f"l1-b{bi}")
+                vk1 = groth16.VerifyingKey.from_json(pk1.vk_json)
+                assert groth16.verify(vk1, proof1, c1.public_values), "layer-1 verify failed"
+                _write_proof(bdir, "layer_one", proof1, c1.public_values, pk1.vk_json)
+                san1 = sanitize(vk1, proof1, c1.public_values)
+                with open(os.path.join(bdir, "layer_one_sanitized_proof.json"), "w") as f:
+                    json.dump(san1, f)
+
+        with Stage(timings, f"layer2 prove batch {bi}"):
+            batch_proofs = [proofs[start + j] for j in range(len(batch))]
+            if mode == "full":
+                inp2 = _layer_two_input(batch, batch_proofs, root, height)
+                with open(os.path.join(bdir, "layer_two_input.json"), "w") as f:
+                    json.dump(_jsonable(inp2.__dict__), f)
+                c2 = layer_two_circuit(inp2, tree_height=height)
+            else:
+                accounts = [
+                    MembershipWitnessInput(
+                        address=a.address,
+                        balance=a.balance,
+                        path_elements=p.path_elements,
+                        path_indices=p.path_indices,
+                    )
+                    for a, p in zip(batch, batch_proofs)
+                ]
+                c2 = membership_sum_circuit(root, accounts, tree_levels=height - 1)
+            r2, w2 = c2.compile()
+            pk2 = cached_setup(
+                r2,
+                zkey_cache,
+                f"layer_two_{mode}_{len(batch)}_sigs_{height}_height",
+                seed=setup_seed,
+            )
+            proof2 = prove(pk2, r2, w2, seed=f"l2-b{bi}")
+            vk2 = groth16.VerifyingKey.from_json(pk2.vk_json)
+            assert groth16.verify(vk2, proof2, c2.public_values), "layer-2 verify failed"
+            _write_proof(bdir, "layer_two", proof2, c2.public_values, pk2.vk_json)
+            l2_sanitized.append(sanitize(vk2, proof2, c2.public_values))
+            with open(os.path.join(bdir, "layer_two_sanitized_proof.json"), "w") as f:
+                json.dump(l2_sanitized[-1], f)
+            batch_balance_sums.append(c2.public_values[0])
+
+    # -- layer 3: aggregation + Pedersen commitment -----------------------
+    # full mode proves the in-circuit Pedersen commitment (~700k
+    # constraints — TPU-scale); accounting mode proves the aggregation
+    # binding circuit and computes the commitment registers host-side
+    # (the final checker still validates them against the secrets).
+    balance_sum = sum(batch_balance_sums)
+    l3dir = os.path.join(build_dir, "layer_three")
+    os.makedirs(l3dir, exist_ok=True)
+    with Stage(timings, "layer3 prove"):
+        if mode == "full":
+            c3 = layer_three_circuit(batch_balance_sums, root, blinding_factor)
+            r3, w3 = c3.compile()
+            pk3 = cached_setup(
+                r3, zkey_cache, f"layer_three_{bplan.num_batches}_batches", seed=setup_seed
+            )
+            proof3 = prove(pk3, r3, w3, seed="l3")
+            vk3 = groth16.VerifyingKey.from_json(pk3.vk_json)
+            assert groth16.verify(vk3, proof3, c3.public_values), "layer-3 verify failed"
+            _write_proof(l3dir, "layer_three", proof3, c3.public_values, pk3.vk_json)
+            l3_public = c3.public_values
+        else:
+            from ..models.r1cs import Circuit
+            from ..utils.serde import to_limbs_85x3
+
+            c3 = Circuit()
+            out = c3.public_output()
+            root_sig = c3.public(root)
+            bal_sigs = [c3.var(b) for b in batch_balance_sums]
+            total = bal_sigs[0]
+            for b_sig in bal_sigs[1:]:
+                total = total + b_sig
+            c3.bind_output(out, total)
+            r3, w3 = c3.compile()
+            pk3 = cached_setup(
+                r3, zkey_cache, f"layer_three_sum_{bplan.num_batches}_batches",
+                seed=setup_seed,
+            )
+            proof3 = prove(pk3, r3, w3, seed="l3")
+            vk3 = groth16.VerifyingKey.from_json(pk3.vk_json)
+            assert groth16.verify(vk3, proof3, c3.public_values), "layer-3 verify failed"
+            _write_proof(l3dir, "layer_three", proof3, c3.public_values, pk3.vk_json)
+            com = C.pedersen_commitment(balance_sum, blinding_factor)
+            l3_public = [
+                reg for ci in range(4) for reg in to_limbs_85x3(com[ci])
+            ] + [root]
+
+    # -- final assertion (pedersen_commitment_checker) --------------------
+    with Stage(timings, "pedersen check"):
+        assert check_commitment(
+            l3_public, balance_sum, blinding_factor
+        ), "final Pedersen commitment check failed"
+        assert l3_public[12] == root
+        with open(os.path.join(l3dir, "commitment.json"), "w") as f:
+            json.dump([str(x) for x in l3_public], f)
+
+    _log(f"workflow OK: balance_sum={balance_sum} root={root}")
+    return WorkflowResult(
+        build_dir=build_dir,
+        num_sigs=n,
+        num_batches=bplan.num_batches,
+        merkle_height=height,
+        merkle_root=root,
+        balance_sum=balance_sum,
+        commitment=dechunk_commitment(l3_public),
+        layer_three_public=l3_public,
+        timings=timings,
+    )
+
+
+def _write_proof(dirpath: str, name: str, proof, publics, vk_json) -> None:
+    with open(os.path.join(dirpath, "proof.json"), "w") as f:
+        json.dump(proof.to_json(), f)
+    with open(os.path.join(dirpath, "public.json"), "w") as f:
+        json.dump([str(x) for x in publics], f)
+    with open(os.path.join(dirpath, f"{name}_vkey.json"), "w") as f:
+        json.dump(vk_json, f)
+
+
+def _layer_two_input(
+    batch: List[AccountAttestation], batch_proofs, root: int, height: int
+) -> LayerTwoInput:
+    """input_prep_for_layer_two.ts equivalent: sponge hash + registers +
+    merkle data from in-memory state."""
+    sponge_regs: List[int] = []
+    pubkeys = []
+    for a in batch:
+        x_regs = to_limbs_64x4(a.signature.pubkey[0])
+        y_regs = to_limbs_64x4(a.signature.pubkey[1])
+        sponge_regs.extend(x_regs)
+        pubkeys.append([x_regs, y_regs])
+    return LayerTwoInput(
+        pubkey_x_coord_hash=poseidon_host.poseidon_sponge(sponge_regs),
+        pubkeys=pubkeys,
+        merkle_root=root,
+        leaf_addresses=[a.address for a in batch],
+        leaf_balances=[a.balance for a in batch],
+        path_elements=[p.path_elements for p in batch_proofs],
+        path_indices=[p.path_indices for p in batch_proofs],
+    )
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(x) for x in obj]
+    if isinstance(obj, int) and abs(obj) > 2**53:
+        return str(obj)
+    return obj
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="TPU-native proof-of-assets workflow (full_workflow.sh contract)"
+    )
+    ap.add_argument("sigs", help="signatures.json (SignatureData[])")
+    ap.add_argument("anon_set", help="anonymity set CSV (address,balance)")
+    ap.add_argument("blinding_factor", type=lambda s: int(s, 0))
+    ap.add_argument("-b", "--build-dir", default="build")
+    ap.add_argument("-p", "--batch-size", type=int, default=2,
+                    help="ideal signatures per batch")
+    ap.add_argument("-m", "--mode", choices=("accounting", "full"), default="accounting")
+    ap.add_argument("-z", "--zkey-cache", default=None)
+    ap.add_argument("-H", "--tree-height", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    res = run_workflow(
+        args.sigs,
+        args.anon_set,
+        args.blinding_factor,
+        build_root=args.build_dir,
+        ideal_batch_size=args.batch_size,
+        mode=args.mode,
+        zkey_cache=args.zkey_cache,
+        tree_height=args.tree_height,
+    )
+    _log(json.dumps({"build_dir": res.build_dir, "balance_sum": str(res.balance_sum),
+                     "merkle_root": str(res.merkle_root),
+                     "timings": {k: round(v, 2) for k, v in res.timings.items()}}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -77,14 +77,17 @@ def _pad_pow2(n: int, min_pad: int = 64) -> int:
 
 
 def _g1_points_from_scalars(scalars: Sequence[int]) -> List:
-    """[k_i * G1] via batched TPU double-and-add."""
+    """[k_i * G1] via windowed fixed-base table gathers on device (~16x
+    fewer group ops than double-and-add; table host-built once and cached)."""
     n = len(scalars)
     if n == 0:
         return []
     n_pad = _pad_pow2(n)
-    base = BN254_G1.encode_jac([bn254.G1_GEN] * n_pad)
     sc = jnp.asarray(msm_mod.scalars_to_limbs(list(scalars) + [0] * (n_pad - n)))
-    return BN254_G1.decode_jac(BN254_G1.scalar_mul_batch(base, sc, 254))[:n]
+    acc = curve_jax.fixed_base_mul_batch(
+        BN254_G1, "bn254_g1", bn254.G1_GEN, bn254.g1_add, sc, 254
+    )
+    return BN254_G1.decode_jac(acc)[:n]
 
 
 def _g2_points_from_scalars(scalars: Sequence[int]) -> List:
@@ -92,9 +95,11 @@ def _g2_points_from_scalars(scalars: Sequence[int]) -> List:
     if n == 0:
         return []
     n_pad = _pad_pow2(n)
-    base = BN254_G2.encode_jac([bn254.G2_GEN] * n_pad)
     sc = jnp.asarray(msm_mod.scalars_to_limbs(list(scalars) + [0] * (n_pad - n)))
-    return BN254_G2.decode_jac(curve_jax.scalar_mul_batch(BN254_G2, base, sc, 254))[:n]
+    acc = curve_jax.fixed_base_mul_batch(
+        BN254_G2, "bn254_g2", bn254.G2_GEN, bn254.g2_add, sc, 254
+    )
+    return BN254_G2.decode_jac(acc)[:n]
 
 
 def qap_evaluate_at_tau(r1cs: R1CS, tau: int, domain_size: int):
