@@ -1,0 +1,192 @@
+"""In-snark Groth16 verification: host residue-witness machinery, the
+lazy-reduction foreign-field engine, Fq12 gadget ops, and the full
+verifier gadget against a golden reference proof.
+
+Parity target: the reference's circom-pairing verifyProof consumed by
+circuits/layer_two.circom:29-49 / layer_three.circom:41-48 (~19.5M
+constraints). Ours verifies the same sanitized-proof register format in
+~7.0M constraints (residue-witness final-exp elimination + constant-vkey
+precomputed lines + direct Fp12 basis with per-output lazy reduction).
+"""
+
+import json
+import os
+import random
+
+import pytest
+
+from zkpoa_tpu.fields import bn254 as bn
+from zkpoa_tpu.fields import bn254_direct as bd
+from zkpoa_tpu.models.gadgets import ffdot as FF
+from zkpoa_tpu.models.gadgets import fp12_gadget as F12
+from zkpoa_tpu.models.gadgets import pairing_gadget as PG
+from zkpoa_tpu.models.r1cs import Circuit
+
+from conftest import has_reference, reference_path
+
+GOLDEN = "tests/1_sigs_1_batches_5_height/layer_one/batch_0/sanitized_proof.json"
+
+SPEC = FF.DotSpec(bn.P, 86, 3, "fq")
+
+
+# ---------------------------------------------------------------------------
+# host machinery
+# ---------------------------------------------------------------------------
+
+
+def test_direct_basis_roundtrip_and_mul():
+    rng = random.Random(11)
+    a = tuple(rng.randrange(bn.P) for _ in range(12))
+    at = bd.direct_to_tower(a)
+    assert bd.tower_to_direct(at) == a
+    b = tuple(rng.randrange(bn.P) for _ in range(12))
+    ab = bd.direct_mul(a, b)
+    assert ab == bd.tower_to_direct(bn.fp12_mul(at, bd.direct_to_tower(b)))
+
+
+def test_affine_miller_matches_pairing():
+    q = bn.g2_mul(bn.G2_GEN, 123456789)
+    p = bn.g1_mul(bn.G1_GEN, 987654321)
+    f = bd.multi_miller_affine([(q, p)])
+    assert bn.final_exponentiate(f) == bn.pairing(q, p)
+
+
+def test_residue_witness_roundtrip():
+    q = bn.g2_mul(bn.G2_GEN, 31337)
+    p = bn.g1_mul(bn.G1_GEN, 271828)
+    f = bd.multi_miller_affine([(q, p), (q, bn.g1_neg(p))])
+    assert bn.final_exponentiate(f) == bn.FP12_ONE
+    c, u_idx = bd.residue_witness(f)
+    lhs = bn.fp12_mul(f, bd.w27_powers()[u_idx])
+    assert lhs == bn.fp12_pow(c, bd.LAMBDA)
+    # an F that fails the pairing check has no witness
+    with pytest.raises(ValueError):
+        bd.residue_witness(bn.fp12_mul(f, bd.multi_miller_affine([(q, p)])))
+
+
+def test_prefe_representative():
+    z = bn.pairing(bn.g2_mul(bn.G2_GEN, 7), bn.g1_mul(bn.G1_GEN, 13))
+    assert bn.final_exponentiate(bd.prefe_representative(z)) == z
+
+
+# ---------------------------------------------------------------------------
+# ffdot engine
+# ---------------------------------------------------------------------------
+
+
+def test_ffdot_mul_dot_inv():
+    rng = random.Random(5)
+    c = Circuit(check=True)
+    av, bv = rng.randrange(bn.P), rng.randrange(bn.P)
+    a = FF.fe_witness(c, SPEC, av)
+    b = FF.fe_witness(c, SPEC, bv)
+    r = FF.fe_mul(c, a, b)
+    assert r.value_mod_p == av * bv % bn.P
+    d = FF.reduce_to_fe(
+        c,
+        SPEC,
+        [(3, FF.conv_mul(c, a, b)), (-7, FF.conv_lin(a)), (1, FF.conv_const(b, 999))],
+        const=-5,
+    )
+    assert d.value_mod_p == (3 * av * bv - 7 * av + 999 * bv - 5) % bn.P
+    inv = FF.fe_inv_witness(c, a)
+    assert inv.value_mod_p == pow(av, -1, bn.P)
+    lin = FF.fe_lin(SPEC, [(1, a), (-9, b)], const=4)
+    assert FF.fe_mul(c, lin, b).value_mod_p == (av - 9 * bv + 4) * bv % bn.P
+    r1cs, wit = c.compile()
+    assert r1cs.is_satisfied(wit)
+
+
+def test_ffdot_reduce_zero_rejects_bad_witness():
+    c = Circuit(check=True)
+    a = FF.fe_witness(c, SPEC, 17)
+    FF.fe_assert_value(c, a, 17)
+    r1cs, wit = c.compile()
+    assert r1cs.is_satisfied(wit)
+    # corrupting the limb witness breaks a constraint
+    bad = list(wit)
+    bad[a.limbs[0].__iter__().__next__()] = 18
+    assert not r1cs.is_satisfied(bad)
+
+
+# ---------------------------------------------------------------------------
+# fq12 gadget ops vs host values
+# ---------------------------------------------------------------------------
+
+
+def test_fq12_ops_match_host():
+    rng = random.Random(7)
+    a_d = tuple(rng.randrange(bn.P) for _ in range(12))
+    b_d = tuple(rng.randrange(bn.P) for _ in range(12))
+    c = Circuit(check=False)
+    A = F12.fq12_witness(c, a_d)
+    B = F12.fq12_witness(c, b_d)
+    assert F12.fq12_mul(c, A, B).direct_value == bd.direct_mul(a_d, b_d)
+    assert F12.fq12_sq(c, A).direct_value == bd.direct_mul(a_d, a_d)
+    assert F12.fq12_mul_const(c, A, b_d).direct_value == bd.direct_mul(a_d, b_d)
+    at = bd.direct_to_tower(a_d)
+    for p in (1, 2, 3):
+        x = at
+        for _ in range(p):
+            x = bn.fp12_frobenius(x)
+        assert F12.fq12_frobenius(c, A, p).direct_value == bd.tower_to_direct(x)
+    # line-sparse product
+    q = bn.g2_mul(bn.G2_GEN, 777)
+    pt = bn.g1_mul(bn.G1_GEN, 888)
+    cw, cw3 = bd.precompute_g2_lines(q)[0]
+    y_inv = pow(pt[1], -1, bn.P)
+    s1v = -pt[0] * y_inv % bn.P
+    s1 = FF.fe_witness(c, F12.FQ, s1v)
+    s2 = FF.fe_witness(c, F12.FQ, y_inv)
+    ds = F12.line_coeffs_const(c, s1, s2, cw, cw3)
+    got = F12.fq12_mul_line_var(c, A, *ds).direct_value
+    want = bd.tower_to_direct(bn.fp12_mul(at, bd.line_value((cw, cw3), s1v, y_inv)))
+    assert got == want
+    r1cs, wit = c.compile()
+    assert r1cs.is_satisfied(wit)
+
+
+# ---------------------------------------------------------------------------
+# the full verifier gadget on a golden reference proof
+# ---------------------------------------------------------------------------
+
+
+def _load_golden():
+    with open(reference_path(GOLDEN)) as f:
+        return json.load(f)
+
+
+def _point_signals(c, regs2):
+    return tuple(
+        PG.fe_from_regs43(c, [c.var(int(x)) for x in regs2[i]], [int(x) for x in regs2[i]])
+        for i in (0, 1)
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not has_reference(), reason="reference artifacts not mounted")
+def test_groth16_verify_gadget_golden_layer_one_proof():
+    d = _load_golden()
+    pvk = PG.PreparedVK.from_sanitized(d)
+    c = Circuit(check=False)
+    negpa = _point_signals(c, d["negpa"])
+    pb = (_point_signals(c, d["pb"][0]), _point_signals(c, d["pb"][1]))
+    pc = _point_signals(c, d["pc"])
+    pub = [c.var(int(d["pubInput"][0]))]
+    PG.groth16_verify_gadget(c, pvk, negpa, pb, pc, pub)
+    assert c.n_constraints < 8_000_000  # reference: ~19.5M for the same op
+    r1cs, wit = c.compile()
+    assert r1cs.is_satisfied(wit)
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference artifacts not mounted")
+def test_groth16_verify_gadget_rejects_tampered_public():
+    d = _load_golden()
+    pvk = PG.PreparedVK.from_sanitized(d)
+    c = Circuit(check=False)
+    negpa = _point_signals(c, d["negpa"])
+    pb = (_point_signals(c, d["pb"][0]), _point_signals(c, d["pb"][1]))
+    pc = _point_signals(c, d["pc"])
+    pub = [c.var(int(d["pubInput"][0]) + 1)]
+    with pytest.raises(ValueError):
+        PG.groth16_verify_gadget(c, pvk, negpa, pb, pc, pub)

@@ -199,6 +199,48 @@ class Circuit:
     def add_lc(self, a: AnyLC, b: AnyLC) -> LC:
         return _lc(a) + _lc(b)
 
+    # -- raw fast paths (identical R1CS semantics, no LC objects) ----------
+    # Used by the constraint-heavy foreign-field/pairing gadgets where the
+    # Python object layer would dominate build time (millions of rows).
+
+    def raw_bits(self, val: int, n: int) -> List[int]:
+        """Allocate n bit wires for `val` with boolean constraints
+        b*(b-1)=0; returns wire indices (LSB first). The caller must add
+        the recomposition constraint binding them to a value."""
+        w = self.witness
+        a_app = self.a_rows.append
+        b_app = self.b_rows.append
+        i0 = self.n_constraints
+        wires = []
+        for t in range(n):
+            wire = len(w)
+            w.append((val >> t) & 1)
+            ci = i0 + t
+            a_app((ci, wire, 1))
+            b_app((ci, wire, 1))
+            b_app((ci, 0, P - 1))
+            wires.append(wire)
+        self.n_constraints = i0 + n
+        return wires
+
+    def raw_constrain(self, a_terms, b_terms, c_terms) -> None:
+        """Append one constraint from (wire, coeff) iterables directly.
+        Coefficients must already be reduced mod P."""
+        i = self.n_constraints
+        for wt, co in a_terms:
+            self.a_rows.append((i, wt, co))
+        for wt, co in b_terms:
+            self.b_rows.append((i, wt, co))
+        for wt, co in c_terms:
+            self.c_rows.append((i, wt, co))
+        self.n_constraints = i + 1
+
+    def raw_var(self, value: int) -> int:
+        """Allocate a wire (value already reduced) and return its index."""
+        wire = len(self.witness)
+        self.witness.append(value)
+        return wire
+
     # -- export ----------------------------------------------------------
 
     def compile(self) -> Tuple[R1CS, List[int]]:
