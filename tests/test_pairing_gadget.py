@@ -179,6 +179,43 @@ def test_groth16_verify_gadget_golden_layer_one_proof():
     assert r1cs.is_satisfied(wit)
 
 
+@pytest.mark.slow
+def test_layer_three_verifies_own_inner_proof():
+    """End-to-end recursion wiring: a proof produced by OUR prover, with
+    the layer-2 public shape [balance, root], verified in-snark inside
+    layer_three_circuit (the reference's verifyProof loop,
+    circuits/layer_three.circom:41-48)."""
+    from zkpoa_tpu.models.layers import layer_three_circuit
+    from zkpoa_tpu.pipeline.sanitize import sanitize
+    from zkpoa_tpu.prover import groth16
+    from zkpoa_tpu.prover.prove import prove
+    from zkpoa_tpu.prover.setup import setup
+
+    balance, root = 4242, 987654321
+    inner = Circuit()
+    out = inner.public_output()
+    root_sig = inner.public(root)
+    a = inner.var(4000)
+    b = inner.var(242)
+    inner.constrain(a, b, inner.var(4000 * 242))
+    inner.bind_output(out, a + b)
+    inner.assert_equal(root_sig, root)
+    r1, w1 = inner.compile()
+    pk = setup(r1, seed="recursion-test")
+    proof = prove(pk, r1, w1, seed="inner")
+    vk = groth16.VerifyingKey.from_json(pk.vk_json)
+    assert groth16.verify(vk, proof, inner.public_values)
+    san = sanitize(vk, proof, inner.public_values)
+    pvk = PG.PreparedVK.from_vk(vk)
+
+    c3 = layer_three_circuit([balance], root, blinding_factor=777, inner=[(pvk, san)])
+    r3, w3 = c3.compile()
+    assert r3.is_satisfied(w3)
+    # wrong balance must fail at witness generation (no residue witness)
+    with pytest.raises(ValueError):
+        layer_three_circuit([balance + 1], root, blinding_factor=777, inner=[(pvk, san)])
+
+
 @pytest.mark.skipif(not has_reference(), reason="reference artifacts not mounted")
 def test_groth16_verify_gadget_rejects_tampered_public():
     d = _load_golden()

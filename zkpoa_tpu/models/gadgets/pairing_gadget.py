@@ -409,6 +409,19 @@ class PreparedVK:
 # ---------------------------------------------------------------------------
 
 
+def proof_signals_from_sanitized(c: Circuit, d: dict):
+    """Allocate (negpa, pb, pc) point signals from a sanitized-proof dict
+    (the reference's Groth16ProofAsInput register shapes)."""
+
+    def pt(r):
+        return tuple(
+            fe_from_regs43(c, [c.var(int(x)) for x in r[i]], [int(x) for x in r[i]])
+            for i in (0, 1)
+        )
+
+    return pt(d["negpa"]), (pt(d["pb"][0]), pt(d["pb"][1])), pt(d["pc"])
+
+
 def fe_from_regs43(c: Circuit, regs: List[Signal], values: List[int]) -> FE:
     """6x43-bit register signals -> one 86x3 FE (linear recombination +
     43-bit range checks). Matches scripts/sanitize_groth16_proof.py:113."""

@@ -124,18 +124,25 @@ class LayerTwoInput:
         )
 
 
-def layer_two_circuit(inp: LayerTwoInput, tree_height: int, check: bool = False) -> Circuit:
-    """LayerTwo(num_sigs, merkle_tree_height) accounting core: constrain the
-    Poseidon sponge of the pubkey x-coord registers to the claimed layer-1
-    public input, derive each Ethereum address in-circuit (Keccak-256),
-    enforce strictly-ascending addresses (the reference only asserts this at
+def layer_two_circuit(
+    inp: LayerTwoInput,
+    tree_height: int,
+    check: bool = False,
+    inner_vk=None,
+) -> Circuit:
+    """LayerTwo(num_sigs, merkle_tree_height): constrain the Poseidon
+    sponge of the pubkey x-coord registers to the claimed layer-1 public
+    input, derive each Ethereum address in-circuit (Keccak-256), enforce
+    strictly-ascending addresses (the reference only asserts this at
     witness time, circuits/layer_two.circom:78-87 — ours is a constraint),
     verify Poseidon-Merkle inclusion of every (address, balance) leaf, and
     output the balance sum. Public signals: [balance_sum, merkle_root].
 
-    The in-snark verification of the layer-1 proof
-    (circuits/layer_two.circom:44-49) lands with the recursive-verifier
-    gadget; pubkey_x_coord_hash is carried as the same private input."""
+    With `inner_vk` (a pairing_gadget.PreparedVK for the layer-1 circuit),
+    the layer-1 proof carried in inp.proof is verified IN-SNARK against
+    pubkey_x_coord_hash — the reference's circuits/layer_two.circom:44-49
+    (circom-pairing verifyProof, ~19.5M constraints there; ~7M here via
+    the residue-witness design, models/gadgets/pairing_gadget.py)."""
     from .gadgets import bigint as B
     from .gadgets.keccak_gadget import pubkey_to_address_gadget
     from .gadgets.poseidon_gadget import poseidon_sponge
@@ -180,6 +187,13 @@ def layer_two_circuit(inp: LayerTwoInput, tree_height: int, check: bool = False)
             assert_less_than(c, addr_sigs[i - 1], addr, 160)
 
     c.bind_output(out, total if total is not None else 0)
+
+    if inner_vk is not None:
+        from .gadgets.pairing_gadget import groth16_verify_gadget, proof_signals_from_sanitized
+
+        assert inp.proof, "layer-2 recursion requires the sanitized layer-1 proof"
+        negpa, pb, pc = proof_signals_from_sanitized(c, inp.proof)
+        groth16_verify_gadget(c, inner_vk, negpa, pb, pc, [hash_sig])
     return c
 
 
@@ -188,6 +202,7 @@ def layer_three_circuit(
     merkle_root: int,
     blinding_factor: int,
     check: bool = False,
+    inner: Sequence = (),
 ) -> Circuit:
     """LayerThree(layer_two_count): sum the per-batch balances and commit to
     the total with a Curve25519 Pedersen commitment.
@@ -199,10 +214,11 @@ def layer_three_circuit(
     are algorithm-dependent, so parity is point equality (the reference's
     own checker semantics, scripts/pedersen_commitment_checker.ts:58-63).
 
-    The in-snark verification of the layer-2 proofs (verifyProof loop,
-    circuits/layer_three.circom:41-48) binds `balances` to real proofs; it
-    lands with the recursive-verifier gadget (see models/gadgets roadmap) —
-    until then this circuit covers the aggregation + commitment statement.
+    With `inner` (a sequence of (pairing_gadget.PreparedVK, sanitized
+    layer-2 proof dict), one per batch), every layer-2 proof is verified
+    IN-SNARK against the public pair [balance_b, merkle_root] — the
+    reference's verifyProof loop (circuits/layer_three.circom:41-48),
+    binding each balance to a real accounting proof.
     """
     from .gadgets import edwards as Ed
     from .gadgets.core import num2bits
@@ -210,7 +226,6 @@ def layer_three_circuit(
     c = Circuit(check=check)
     out_regs = [c.public_output() for _ in range(12)]
     root = c.public(merkle_root)
-    _ = root  # bound to layer-2 verification when the recursion gadget lands
 
     bal_sigs = [c.var(b) for b in balances]
     total_lc = bal_sigs[0]
@@ -231,6 +246,14 @@ def layer_three_circuit(
     for ci, coord in enumerate((com.x, com.y, com.z, com.t)):
         for li in range(3):
             c.bind_output(out_regs[ci * 3 + li], coord.limbs[li])
+
+    if inner:
+        from .gadgets.pairing_gadget import groth16_verify_gadget, proof_signals_from_sanitized
+
+        assert len(inner) == len(balances), "one layer-2 proof per batch"
+        for b_sig, (pvk, proof_dict) in zip(bal_sigs, inner):
+            negpa, pb, pc = proof_signals_from_sanitized(c, proof_dict)
+            groth16_verify_gadget(c, pvk, negpa, pb, pc, [b_sig, root])
     return c
 
 

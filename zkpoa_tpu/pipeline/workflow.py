@@ -12,11 +12,12 @@ final Pedersen-commitment assertion. Differences by design:
     cache keyed by circuit shape (the reference's zkeys/ cache);
   * `mode="accounting"` proves the membership/aggregation statements only
     (fast, CI-friendly); `mode="full"` builds the complete layer-1/2
-    circuits (in-circuit ECDSA* + Keccak address derivation) — TPU-scale.
-    The in-snark recursive verification of lower-layer proofs lands with
-    the recursive-verifier gadget (models/gadgets roadmap); until then
-    every layer's proof is verified by the host pairing verifier
-    (the role snarkjs plays in the reference, scripts/g16_verify.sh).
+    circuits (in-circuit ECDSA* + Keccak address derivation);
+    `mode="recursive"` additionally verifies every lower-layer proof
+    IN-SNARK (the reference's circom-pairing verifyProof, here the ~7M-
+    constraint residue-witness gadget) — full protocol parity, TPU-scale.
+    In every mode each layer's proof is also checked by the host pairing
+    verifier (the role snarkjs plays in the reference, g16_verify.sh).
 
 CLI mirrors the reference's 3-argument contract (full_workflow.sh:43):
     python -m zkpoa_tpu.pipeline.workflow <sigs.json> <anon_set.csv> <blind>
@@ -30,6 +31,12 @@ import csv
 import json
 import os
 import time
+
+# persistent XLA compile cache: the fused limb kernels are compile-heavy;
+# repeat workflow runs (and the zkey-cache path) reuse cached executables
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/zkpoa_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -149,13 +156,15 @@ def run_workflow(
     # -- per-batch layers 1+2 (reference prove_layers_one_two) ------------
     batch_balance_sums: List[int] = []
     l2_sanitized: List[dict] = []
+    l2_vk_jsons: List[dict] = []
     for bi in range(bplan.num_batches):
         start, end = bplan.batch_range(bi)
         batch = atts[start:end]
         bdir = os.path.join(build_dir, f"batch_{bi}")
         os.makedirs(bdir, exist_ok=True)
 
-        if mode == "full":
+        san1 = vk1 = None
+        if mode in ("full", "recursive"):
             with Stage(timings, f"layer1 prove batch {bi}"):
                 l1_inp_json = layer_one_input(batch)
                 with open(os.path.join(bdir, "layer_one_input.json"), "w") as f:
@@ -179,11 +188,18 @@ def run_workflow(
 
         with Stage(timings, f"layer2 prove batch {bi}"):
             batch_proofs = [proofs[start + j] for j in range(len(batch))]
-            if mode == "full":
+            if mode in ("full", "recursive"):
                 inp2 = _layer_two_input(batch, batch_proofs, root, height)
+                if mode == "recursive":
+                    inp2.proof = san1
                 with open(os.path.join(bdir, "layer_two_input.json"), "w") as f:
                     json.dump(_jsonable(inp2.__dict__), f)
-                c2 = layer_two_circuit(inp2, tree_height=height)
+                inner_vk1 = None
+                if mode == "recursive":
+                    from ..models.gadgets.pairing_gadget import PreparedVK
+
+                    inner_vk1 = _prepared_vk_cached(pk1.vk_json, PreparedVK)
+                c2 = layer_two_circuit(inp2, tree_height=height, inner_vk=inner_vk1)
             else:
                 accounts = [
                     MembershipWitnessInput(
@@ -207,6 +223,7 @@ def run_workflow(
             assert groth16.verify(vk2, proof2, c2.public_values), "layer-2 verify failed"
             _write_proof(bdir, "layer_two", proof2, c2.public_values, pk2.vk_json)
             l2_sanitized.append(sanitize(vk2, proof2, c2.public_values))
+            l2_vk_jsons.append(pk2.vk_json)
             with open(os.path.join(bdir, "layer_two_sanitized_proof.json"), "w") as f:
                 json.dump(l2_sanitized[-1], f)
             batch_balance_sums.append(c2.public_values[0])
@@ -220,8 +237,18 @@ def run_workflow(
     l3dir = os.path.join(build_dir, "layer_three")
     os.makedirs(l3dir, exist_ok=True)
     with Stage(timings, "layer3 prove"):
-        if mode == "full":
-            c3 = layer_three_circuit(batch_balance_sums, root, blinding_factor)
+        if mode in ("full", "recursive"):
+            inner3 = []
+            if mode == "recursive":
+                from ..models.gadgets.pairing_gadget import PreparedVK
+
+                inner3 = [
+                    (_prepared_vk_cached(vkj, PreparedVK), san)
+                    for vkj, san in zip(l2_vk_jsons, l2_sanitized)
+                ]
+            c3 = layer_three_circuit(
+                batch_balance_sums, root, blinding_factor, inner=inner3
+            )
             r3, w3 = c3.compile()
             pk3 = cached_setup(
                 r3, zkey_cache, f"layer_three_{bplan.num_batches}_batches", seed=setup_seed
@@ -280,6 +307,20 @@ def run_workflow(
     )
 
 
+_PVK_CACHE: Dict[str, object] = {}
+
+
+def _prepared_vk_cached(vk_json: dict, cls):
+    """PreparedVK per distinct vkey (comb tables + Miller lines are
+    shape-cacheable; the reference's zkey-cache analog for recursion)."""
+    key = json.dumps(vk_json, sort_keys=True)
+    if key not in _PVK_CACHE:
+        from ..prover.groth16 import VerifyingKey
+
+        _PVK_CACHE[key] = cls.from_vk(VerifyingKey.from_json(vk_json))
+    return _PVK_CACHE[key]
+
+
 def _write_proof(dirpath: str, name: str, proof, publics, vk_json) -> None:
     with open(os.path.join(dirpath, "proof.json"), "w") as f:
         json.dump(proof.to_json(), f)
@@ -332,7 +373,8 @@ def main(argv=None) -> int:
     ap.add_argument("-b", "--build-dir", default="build")
     ap.add_argument("-p", "--batch-size", type=int, default=2,
                     help="ideal signatures per batch")
-    ap.add_argument("-m", "--mode", choices=("accounting", "full"), default="accounting")
+    ap.add_argument("-m", "--mode", choices=("accounting", "full", "recursive"),
+                    default="accounting")
     ap.add_argument("-z", "--zkey-cache", default=None)
     ap.add_argument("-H", "--tree-height", type=int, default=None)
     args = ap.parse_args(argv)
