@@ -71,9 +71,18 @@ def msm_impl(
     n_bits: int = 254,
     c: int = DEFAULT_WINDOW_BITS,
     point_valid: Optional[jnp.ndarray] = None,  # [N] bool; None = all valid
+    static_rounds: Optional[int] = None,
 ):
     """Returns sum_i scalars[i] * P_i as a single Jacobian point (batch ()).
-    Un-jitted body — call msm_device (jitted) or use inside shard_map."""
+    Un-jitted body — call msm_device (jitted) or use inside shard_map.
+
+    `static_rounds`: compile-time bound on the max bucket occupancy. The
+    host-facing msm() computes the exact occupancy from the (host-known)
+    scalars and rounds it up to a power of two, so the accumulation loop
+    is a static fori_loop. A data-dependent while_loop bound costs ~20ms
+    PER ITERATION on the axon tunnel backend (measured 764ms vs 54ms for
+    an 8k-point MSM) and is only used when scalars live on device and no
+    bound is provided (sharded/fixed-base internal paths)."""
     n = scalars.shape[0]
     nw = (n_bits + c - 1) // c
     n_buckets = 1 << c
@@ -91,28 +100,32 @@ def msm_impl(
     )  # [nw, 2^c + 1]
     b_start = starts[:, :-1]
     b_end = starts[:, 1:]
-    counts = b_end - b_start
-    counts = counts.at[:, 0].set(0)  # bucket 0 contributes nothing
-    max_rounds = jnp.max(counts)
 
     acc = curve.infinity((nw, n_buckets))
     bucket_axis = jnp.arange(n_buckets, dtype=b_start.dtype)[None, :]
 
-    def round_body(state):
-        r, acc = state
+    def round_step(r, acc):
         pos = b_start + r  # [nw, 2^c]
         valid = jnp.logical_and(pos < b_end, bucket_axis != 0)
         pos_c = jnp.minimum(pos, n - 1).astype(jnp.int32)
         pt_idx = jnp.take_along_axis(order, pos_c, axis=1)  # [nw, 2^c]
         xg = _tmap(lambda a: a[pt_idx], xs)  # leaves [nw, 2^c, K]
         yg = _tmap(lambda a: a[pt_idx], ys)
-        return (r + 1, curve.add_affine(acc, xg, yg, valid))
+        return curve.add_affine(acc, xg, yg, valid)
 
-    _, acc = jax.lax.while_loop(
-        lambda s: s[0] < max_rounds,
-        round_body,
-        (jnp.zeros((), dtype=max_rounds.dtype), acc),
-    )
+    if static_rounds is not None:
+        acc = jax.lax.fori_loop(
+            0, int(static_rounds), lambda r, a: round_step(r.astype(b_start.dtype), a), acc
+        )
+    else:
+        counts = b_end - b_start
+        counts = counts.at[:, 0].set(0)  # bucket 0 contributes nothing
+        max_rounds = jnp.max(counts)
+        _, acc = jax.lax.while_loop(
+            lambda s: s[0] < max_rounds,
+            lambda s: (s[0] + 1, round_step(s[0], s[1])),
+            (jnp.zeros((), dtype=max_rounds.dtype), acc),
+        )
 
     # --- weighted bucket reduction: sum_b b * B_b = sum_{b>=1} suffix_b ---
     # Both reductions are Hillis-Steele suffix scans with constant shapes
@@ -154,7 +167,62 @@ def msm_impl(
     return res
 
 
-msm_device = jax.jit(msm_impl, static_argnums=(0, 4, 5))
+msm_device = jax.jit(
+    msm_impl, static_argnums=(0, 4, 5), static_argnames=("static_rounds",)
+)
+
+
+def _tree_sum_device_impl(curve, xs, ys, valid):
+    """Plain sum of n_pad (pow2) affine points: log2(n) halving passes of
+    batched jacobian adds — static shapes, worst-case-proof. Used for
+    degenerate MSM scalar classes (e.g. the ~50% of witness wires holding
+    bit values): sum-of-points needs no buckets at all."""
+    n = valid.shape[0]
+    w = curve.add_affine(curve.infinity((n,)), xs, ys, valid)
+    while n > 1:
+        half = n // 2
+        w = curve.add(
+            _tmap(lambda a: a[:half], w), _tmap(lambda a: a[half : 2 * half], w)
+        )
+        n = half
+    return _tmap(lambda a: a[0], w)
+
+
+_tree_sum_device = jax.jit(_tree_sum_device_impl, static_argnums=(0,))
+
+
+def tree_sum(curve, points):
+    """Host API: exact sum of a list of affine points (None = infinity)."""
+    if not points:
+        return None
+    n_pad = max(64, 1 << (len(points) - 1).bit_length())
+    xs, ys, valid = curve.encode_affine(points)
+    pad = n_pad - len(points)
+    if pad:
+        xs = _tmap(lambda a: jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), xs)
+        ys = _tmap(lambda a: jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), ys)
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), dtype=valid.dtype)])
+    res = _tree_sum_device(curve, xs, ys, valid)
+    return curve.decode_jac(_tmap(lambda a: a[None], res))[0]
+
+
+def host_occupancy(scalars_limbs: np.ndarray, n_bits: int, c: int) -> int:
+    """Exact max bucket occupancy over all windows (numpy, host) — the
+    static round bound for the accumulation loop. Bucket 0 excluded."""
+    nw = (n_bits + c - 1) // c
+    mask = (1 << c) - 1
+    occ = 1
+    for w in range(nw):
+        off = c * w
+        limb, sh = divmod(off, L.LIMB_BITS)
+        word = scalars_limbs[:, limb] >> sh
+        if sh > 0 and limb + 1 < scalars_limbs.shape[1]:
+            word = word | (scalars_limbs[:, limb + 1] << (L.LIMB_BITS - sh))
+        digits = word & mask
+        counts = np.bincount(digits, minlength=mask + 1)
+        counts[0] = 0
+        occ = max(occ, int(counts.max()))
+    return occ
 
 
 def scalars_to_limbs(scalars, n_limbs: int = 16) -> np.ndarray:
@@ -220,6 +288,9 @@ def auto_window_bits(n: int) -> int:
     return max(2, min(DEFAULT_WINDOW_BITS, n.bit_length() - 4))
 
 
+GROUP_SUM_MIN = 64  # repeated-scalar groups at least this big get tree-summed
+
+
 def msm(
     curve,
     points,
@@ -231,9 +302,16 @@ def msm(
     """Host-friendly MSM: points = list of affine points (ints for G1,
     int-pairs for G2; None = infinity), scalars = list of ints.
 
-    Inputs are padded to the next power of two (>= min_pad) with invalid
-    points so repeated calls of similar sizes reuse one compiled kernel,
-    and the window size adapts to N unless pinned."""
+    Host preprocessing (scalars are always host-known in the prover):
+      * zero scalars / infinity points dropped;
+      * scalar-1 points (about half of all witness wires are bits) and any
+        scalar value repeated >= GROUP_SUM_MIN times are summed with the
+        static tree kernel — Pippenger buckets degenerate on repeats;
+      * the exact max bucket occupancy of what remains is computed here
+        and rounded up to a power of two -> a STATIC accumulation bound
+        (a data-dependent while_loop costs ~20ms/round on the tunnel).
+    Inputs are padded to the next power of two (>= min_pad) so repeated
+    calls of similar sizes reuse one compiled kernel."""
     if len(points) != len(scalars):
         raise ValueError("points/scalars length mismatch")
     if not points:
@@ -242,16 +320,54 @@ def msm(
     if jax.default_backend() == "cpu" and n <= HOST_MSM_MAX_N_CPU:
         # device-kernel compiles dwarf the MSM itself at this size on CPU
         return host_msm(curve, points, [int(s) for s in scalars])
+
+    add = _host_add_for(curve)
+    # --- host preprocessing: split degenerate scalar classes -------------
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    main_pts, main_scs = [], []
+    for pt, s in zip(points, scalars):
+        s = int(s)
+        if pt is None or s == 0:
+            continue
+        groups[s].append(pt)
+    extra = None  # jac-free host accumulation of group contributions
+    for s, pts in groups.items():
+        if s == 1 or len(pts) >= GROUP_SUM_MIN:
+            gsum = tree_sum(curve, pts)
+            if gsum is not None:
+                if s != 1:
+                    # re-feed s * (group sum) as one Pippenger input
+                    main_pts.append(gsum)
+                    main_scs.append(s)
+                else:
+                    extra = add(extra, gsum) if extra is not None else gsum
+        else:
+            main_pts.extend(pts)
+            main_scs.extend([s] * len(pts))
+
+    if not main_pts:
+        return extra
+    n = len(main_pts)
     n_pad = max(min_pad, 1 << (n - 1).bit_length())
     if c is None:
         c = auto_window_bits(n_pad)
-    xs, ys, valid = curve.encode_affine(points)
+    xs, ys, valid = curve.encode_affine(main_pts)
     if n_pad > n:
         pad = n_pad - n
         xs = _tmap(lambda a: jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), xs)
         ys = _tmap(lambda a: jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), ys)
         valid = jnp.concatenate([valid, jnp.zeros((pad,), dtype=valid.dtype)])
     sc = np.zeros((n_pad, curve.field.n_limbs), dtype=np.uint32)
-    sc[:n] = scalars_to_limbs(scalars, curve.field.n_limbs)
-    res = msm_device(curve, xs, ys, jnp.asarray(sc), n_bits, c, point_valid=valid)
-    return curve.decode_jac(_tmap(lambda a: a[None], res))[0]
+    sc[:n] = scalars_to_limbs(main_scs, curve.field.n_limbs)
+    occ = host_occupancy(sc, n_bits, c)
+    rounds = 1 << (occ - 1).bit_length()  # pow2 -> few compile variants
+    res = msm_device(
+        curve, xs, ys, jnp.asarray(sc), n_bits, c,
+        point_valid=valid, static_rounds=rounds,
+    )
+    out = curve.decode_jac(_tmap(lambda a: a[None], res))[0]
+    if extra is not None:
+        out = add(out, extra)
+    return out
