@@ -60,6 +60,7 @@ from . import planner
 from .pedersen_check import check_commitment, dechunk_commitment
 from .sanitize import sanitize
 from .sigs import AccountAttestation, layer_one_input, parse_signatures_file
+from ..utils.trace import Tracer
 
 
 @dataclass
@@ -77,26 +78,6 @@ class WorkflowResult:
 
 def _log(msg: str) -> None:
     print(f"[zkpoa] {msg}", flush=True)
-
-
-class Stage:
-    """Stage banner + wall-time stats (the reference's cmd_executor
-    `execute` instrumentation, scripts/lib/cmd_executor.sh:6-19)."""
-
-    def __init__(self, timings: Dict[str, float], name: str):
-        self.timings = timings
-        self.name = name
-
-    def __enter__(self):
-        self.t0 = time.time()
-        _log(f"=== {self.name} ...")
-        return self
-
-    def __exit__(self, *exc):
-        dt = time.time() - self.t0
-        self.timings[self.name] = self.timings.get(self.name, 0.0) + dt
-        _log(f"=== {self.name} done in {dt:.2f}s")
-        return False
 
 
 def load_anon_set(path: str):
@@ -123,8 +104,13 @@ def run_workflow(
     zkey_cache: Optional[str] = None,
     tree_height: Optional[int] = None,
     setup_seed: str = "zkpoa-test-srs",
+    profile: bool = False,
 ) -> WorkflowResult:
-    timings: Dict[str, float] = {}
+    # logs land in <build_root>/logs during input prep, then move under the
+    # sized build dir naming once the batch plan is known
+    tracer = Tracer(log_dir=None, profile=profile)
+    timings = tracer.timings
+    Stage = lambda _t, name: tracer.stage(name)  # noqa: E731
 
     # -- input preparation (reference L4) ---------------------------------
     with Stage(timings, "parse signatures"):
@@ -139,6 +125,8 @@ def run_workflow(
         build_root, f"{n}_sigs_{bplan.num_batches}_batches_{height}_height"
     )
     os.makedirs(build_dir, exist_ok=True)
+    tracer.__init__(log_dir=os.path.join(build_dir, "logs"), profile=profile,
+                    timings=timings)
     _log(
         f"{n} sigs, batch size {bplan.batch_size} x {bplan.num_batches} batches"
         f" (remainder {bplan.remainder}), tree height {height}, mode={mode}"
@@ -377,6 +365,9 @@ def main(argv=None) -> int:
                     default="accounting")
     ap.add_argument("-z", "--zkey-cache", default=None)
     ap.add_argument("-H", "--tree-height", type=int, default=None)
+    ap.add_argument("--profile", action="store_true",
+                    help="record per-stage JAX profiler traces under "
+                         "<build>/logs/xprof (view with TensorBoard)")
     args = ap.parse_args(argv)
 
     res = run_workflow(
@@ -388,6 +379,7 @@ def main(argv=None) -> int:
         mode=args.mode,
         zkey_cache=args.zkey_cache,
         tree_height=args.tree_height,
+        profile=args.profile,
     )
     _log(json.dumps({"build_dir": res.build_dir, "balance_sum": str(res.balance_sum),
                      "merkle_root": str(res.merkle_root),

@@ -129,6 +129,56 @@ def _cmd_prove(args) -> int:
     return 0
 
 
+def _cmd_export(args) -> int:
+    """Emit iden3 binary artifacts (.r1cs/.wtns/.zkey) for a layer input —
+    the interop surface snarkjs/rapidsnark users consume (binfmt module)."""
+    from ..utils import binfmt
+    from .cache import cached_setup
+
+    with open(args.input) as f:
+        d = json.load(f)
+    circuit, name = _build_circuit(args.layer, d, args.recursive)
+    r1cs, witness = circuit.compile()
+    os.makedirs(args.out_dir, exist_ok=True)
+    base = os.path.join(args.out_dir, name)
+    binfmt.write_r1cs(base + ".r1cs", r1cs)
+    binfmt.write_wtns(base + ".wtns", witness)
+    print(f"[g16-export] {base}.r1cs ({r1cs.n_constraints} constraints), .wtns", flush=True)
+    if args.zkey:
+        pk = cached_setup(r1cs, args.zkey_dir, name, seed=args.seed)
+        binfmt.write_zkey(base + ".zkey", pk, r1cs)
+        print(f"[g16-export] {base}.zkey", flush=True)
+    return 0
+
+
+def _cmd_prove_zkey(args) -> int:
+    """Prove from foreign artifacts only: a .zkey + a .wtns (the rapidsnark
+    prover CLI contract, ref scripts/g16_prove.sh:246-252)."""
+    from ..utils import binfmt
+    from . import groth16
+    from .prove import prove
+
+    t0 = time.time()
+    pk, coeffs = binfmt.read_zkey(args.zkey)
+    witness = binfmt.read_wtns(args.wtns)
+    r1cs = binfmt.r1cs_from_zkey_coeffs(coeffs, pk.n_vars, pk.n_public)
+    print(f"[g16-prove] zkey {pk.n_vars} vars / domain {pk.domain_size} "
+          f"loaded ({time.time() - t0:.1f}s)", flush=True)
+    t0 = time.time()
+    proof = prove(pk, r1cs, witness, seed=args.proof_seed)
+    print(f"[g16-prove] proof in {time.time() - t0:.1f}s", flush=True)
+    publics = witness[1 : pk.n_public + 1]
+    vk = groth16.VerifyingKey.from_json(pk.vk_json)
+    assert groth16.verify(vk, proof, publics), "self-verify failed"
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(args.out_dir, "proof.json"), "w") as f:
+        json.dump(proof.to_json(), f)
+    with open(os.path.join(args.out_dir, "public.json"), "w") as f:
+        json.dump([str(x) for x in publics], f)
+    print(f"[g16-prove] wrote proof.json/public.json to {args.out_dir}", flush=True)
+    return 0
+
+
 def _cmd_verify(args) -> int:
     from .groth16 import verify_files
 
@@ -150,7 +200,7 @@ def main(argv=None) -> int:
                                  description="Groth16 toolchain (g16_*.sh contract)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    for cmd, fn in (("setup", _cmd_setup), ("prove", _cmd_prove)):
+    for cmd, fn in (("setup", _cmd_setup), ("prove", _cmd_prove), ("export", _cmd_export)):
         p = sub.add_parser(cmd)
         p.add_argument("--layer", choices=("one", "two", "three"), required=True)
         p.add_argument("--input", required=True, help="reference-shaped layer input JSON")
@@ -161,7 +211,19 @@ def main(argv=None) -> int:
         if cmd == "prove":
             p.add_argument("-o", "--out-dir", required=True)
             p.add_argument("--proof-seed", default="zkpoa-proof")
+        if cmd == "export":
+            p.add_argument("-o", "--out-dir", required=True)
+            p.add_argument("--zkey", action="store_true",
+                           help="also run setup and emit a .zkey")
         p.set_defaults(fn=fn)
+
+    p = sub.add_parser("prove-zkey", help="prove from a .zkey + .wtns "
+                       "(rapidsnark prover CLI contract)")
+    p.add_argument("--zkey", required=True)
+    p.add_argument("--wtns", required=True)
+    p.add_argument("-o", "--out-dir", required=True)
+    p.add_argument("--proof-seed", default="zkpoa-proof")
+    p.set_defaults(fn=_cmd_prove_zkey)
 
     p = sub.add_parser("verify")
     p.add_argument("vkey")

@@ -39,6 +39,11 @@ def _rand_fr(seed: str, label: str) -> int:
 def compute_h_coeffs(r1cs: R1CS, witness: Sequence[int], domain_size: int) -> List[int]:
     """h(X) = (A·B - C)/Z coefficients via device NTTs."""
     a_ev, b_ev, c_ev = r1cs.eval_matrices(witness)
+    if not r1cs.c_rows and r1cs.n_constraints:
+        # zkey-imported systems carry only A/B rows (a .zkey stores no C
+        # matrix); for a satisfying witness C's domain evaluations equal
+        # A·B pointwise, which is all the quotient needs.
+        c_ev = [a * b % R for a, b in zip(a_ev, b_ev)]
     m = domain_size
     pad = [0] * (m - len(a_ev))
     enc = BN254_FR.encode
