@@ -173,6 +173,85 @@ def bench_fixed_base(log_n=14):
             "kmuls_s": round(n / dt / 1e3, 1)}
 
 
+def bench_groth16_verification():
+    """In-snark Groth16 verification — the reference's standalone
+    experiments/circuits/groth16_verification.circom (verifyProof(5):
+    32,451,349 constraints, 15m compile, 8h zkey on r7a.8xl,
+    experiments/scripts/groth16_verification.sh:6-30). Ours: build the
+    residue-witness pairing gadget around a self-generated inner proof and
+    report constraint count + synthesis time."""
+    from zkpoa_tpu.models.gadgets import pairing_gadget as PG
+    from zkpoa_tpu.models.r1cs import Circuit
+    from zkpoa_tpu.pipeline.sanitize import sanitize
+    from zkpoa_tpu.prover import groth16
+    from zkpoa_tpu.prover.prove import prove
+    from zkpoa_tpu.prover.setup import setup
+
+    inner = Circuit()
+    out = inner.public_output()
+    x, y = inner.var(31), inner.var(33)
+    inner.bind_output(out, inner.mul(x, y) + x)
+    r1, w1 = inner.compile()
+    pk = setup(r1, seed="exp-g16v")
+    proof = prove(pk, r1, w1, seed="exp")
+    vk = groth16.VerifyingKey.from_json(pk.vk_json)
+    san = sanitize(vk, proof, inner.public_values)
+    pvk = PG.PreparedVK.from_sanitized(san)
+
+    t0 = time.perf_counter()
+    c = Circuit(check=False)
+    sig = lambda regs: tuple(
+        PG.fe_from_regs43(c, [c.var(int(v)) for v in regs[i]], [int(v) for v in regs[i]])
+        for i in (0, 1)
+    )
+    negpa = sig(san["negpa"])
+    pb = (sig(san["pb"][0]), sig(san["pb"][1]))
+    pc = sig(san["pc"])
+    pub = [c.var(int(p)) for p in san["pubInput"]]
+    PG.groth16_verify_gadget(c, pvk, negpa, pb, pc, pub)
+    r1cs, wit = c.compile()
+    dt = time.perf_counter() - t0
+    assert r1cs.is_satisfied(wit)
+    return {"metric": "groth16_verify_in_snark", "constraints": r1cs.n_constraints,
+            "synthesis_s": round(dt, 2), "reference_constraints": 32_451_349}
+
+
+def bench_membership(height=24, n_members=1):
+    """Merkle membership check — the reference's standalone
+    experiments/circuits/{merkle,membership}.circom (height-24 Poseidon
+    path: 5,856 linear constraints, experiments/scripts/merkle.sh:3).
+    Builds the in-circuit Poseidon-Merkle proof verification and reports
+    constraint count + synthesis time."""
+    from zkpoa_tpu.merkle.tree import MerkleTree
+    from zkpoa_tpu.models.gadgets.merkle_gadget import merkle_verify
+    from zkpoa_tpu.models.gadgets.poseidon_gadget import poseidon
+    from zkpoa_tpu.models.r1cs import Circuit
+
+    n = 1 << min(height - 1, 10)  # small tree, full-height padded paths
+    addrs = list(range(2, n + 2))
+    bals = [7 * i % 1000 for i in range(n)]
+    tree = MerkleTree.build(addrs, bals, height)
+    root = tree.root()
+
+    t0 = time.perf_counter()
+    c = Circuit()
+    root_sig = c.public(root)
+    for i in range(n_members):
+        pf = tree.prove(i)
+        leaf = poseidon(c, [c.var(addrs[i]), c.var(bals[i])])
+        merkle_verify(
+            c, leaf, root_sig,
+            [c.var(int(s)) for s in pf.path_elements],
+            [c.var(int(b)) for b in pf.path_indices],
+        )
+    r1cs, wit = c.compile()
+    dt = time.perf_counter() - t0
+    assert r1cs.is_satisfied(wit)
+    return {"metric": "merkle_membership", "height": height, "members": n_members,
+            "constraints": r1cs.n_constraints, "synthesis_s": round(dt, 2),
+            "reference_constraints_h24": 5_856}
+
+
 ALL = {
     "msm": bench_msm,
     "ntt": bench_ntt,
@@ -182,6 +261,8 @@ ALL = {
     "pedersen": bench_pedersen,
     "ecdsa": bench_ecdsa,
     "fixed_base": bench_fixed_base,
+    "groth16_verification": bench_groth16_verification,
+    "membership": bench_membership,
 }
 
 

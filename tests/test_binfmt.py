@@ -81,3 +81,43 @@ def test_zkey_roundtrip_and_prove_from_imported_artifacts(tmp_path):
     vk = groth16.VerifyingKey.from_json(pk.vk_json)
     assert groth16.verify(vk, proof, c.public_values)
     assert not groth16.verify(vk, proof, [c.public_values[0] + 1])
+
+
+def test_coset_h_basis_prove_and_zkey_roundtrip(tmp_path):
+    """snarkjs section-9 convention: the prover MSMs coset evaluations of
+    A*B-C against coset-Lagrange H points (what rapidsnark does with a
+    snarkjs zkey), instead of h coefficients against the monomial basis.
+    Both setups must yield verifying proofs for the same circuit, and the
+    coset zkey must survive a file round-trip with h_basis='coset'."""
+    c = _circuit(6, 7)
+    r1cs, wit = c.compile()
+    pk_cs = setup(r1cs, seed="binfmt-coset", h_basis="coset")
+    assert pk_cs.h_basis == "coset"
+    assert len(pk_cs.h_query) == pk_cs.domain_size
+
+    proof = prove(pk_cs, r1cs, wit, seed="cs1")
+    vk = groth16.VerifyingKey.from_json(pk_cs.vk_json)
+    assert groth16.verify(vk, proof, c.public_values)
+    assert not groth16.verify(vk, proof, [c.public_values[0] + 1])
+
+    # same trusted-setup seed in monomial basis proves the same statement
+    pk_mono = setup(r1cs, seed="binfmt-coset", h_basis="monomial")
+    proof_m = prove(pk_mono, r1cs, wit, seed="cs1")
+    vk_m = groth16.VerifyingKey.from_json(pk_mono.vk_json)
+    assert vk_m.to_json() == vk.to_json()  # CRS identical outside section 9
+    assert groth16.verify(vk, proof_m, c.public_values)
+    # same (tau, r, s): identical proof points from either H basis
+    assert proof_m.pi_a == proof.pi_a
+    assert proof_m.pi_c == proof.pi_c
+
+    # zkey file round-trip in the foreign (snarkjs) convention
+    zkey_path = os.path.join(tmp_path, "coset.zkey")
+    binfmt.write_zkey(zkey_path, pk_cs, r1cs)
+    pk2, coeffs = binfmt.read_zkey(zkey_path, h_basis="coset")
+    assert pk2.h_basis == "coset"
+    assert pk2.h_query == pk_cs.h_query
+    r1cs2 = binfmt.r1cs_from_zkey_coeffs(
+        coeffs, pk2.n_vars, pk2.n_public, r1cs.n_constraints
+    )
+    proof2 = prove(pk2, r1cs2, wit, seed="cs2")
+    assert groth16.verify(vk, proof2, c.public_values)

@@ -97,11 +97,19 @@ def ntt(values_mont: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     )
 
 
+# The coset shift used by snarkjs/rapidsnark for the h-query path:
+# ffjavascript's F1Field picks the smallest quadratic non-residue mod R
+# (nqr = 5 for BN254 Fr) and sets shift = nqr^2 = 25; rapidsnark follows
+# (ref: scripts/g16_prove.sh:246-252 proves with either engine against the
+# same .zkey, so both must agree on this constant).
+SNARKJS_COSET_SHIFT = 25
+
+
 @lru_cache(maxsize=None)
-def _coset_tables(log_n: int, inverse: bool) -> np.ndarray:
-    """Powers g^i (or g^-i) of the Fr multiplicative generator, Montgomery."""
+def _coset_tables(log_n: int, inverse: bool, shift: int = FR_GENERATOR) -> np.ndarray:
+    """Powers g^i (or g^-i) of the coset shift g, Montgomery encoded."""
     n = 1 << log_n
-    g = FR_GENERATOR if not inverse else pow(FR_GENERATOR, -1, R)
+    g = shift if not inverse else pow(shift, -1, R)
     pw = [1] * n
     for i in range(1, n):
         pw[i] = pw[i - 1] * g % R
@@ -109,13 +117,40 @@ def _coset_tables(log_n: int, inverse: bool) -> np.ndarray:
     return np.asarray(BN254_FR.to_mont(jnp.asarray(enc)))
 
 
-def coset_shift(values_mont: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+def coset_shift(
+    values_mont: jnp.ndarray, inverse: bool = False, shift: int = FR_GENERATOR
+) -> jnp.ndarray:
     """Multiply coefficient i by g^(±i): maps polynomial evaluation domain
     D -> gD (the coset where Z(x) = x^n - 1 is the nonzero constant g^n - 1)."""
     n = values_mont.shape[0]
     log_n = n.bit_length() - 1
-    tbl = jnp.asarray(_coset_tables(log_n, inverse))
+    tbl = jnp.asarray(_coset_tables(log_n, inverse, shift))
     return L.mont_mul(BN254_FR, values_mont, tbl)
+
+
+def coset_qap_evals(
+    a_ev: jnp.ndarray,
+    b_ev: jnp.ndarray,
+    c_ev: jnp.ndarray,
+    shift: int = SNARKJS_COSET_SHIFT,
+) -> jnp.ndarray:
+    """(A·B − C) evaluated over the shifted coset g·D — the h-MSM operand
+    for zkeys whose section-9 basis is snarkjs' coset-Lagrange convention.
+
+    snarkjs/rapidsnark never form h(X)'s coefficients: they evaluate
+    P = A·B − C on the coset g·D (where Z is the nonzero constant g^n − 1)
+    and MSM those evaluations directly against section-9 points
+    H_i = L_i^{coset}(τ)·Z(τ)/((g^n−1)·δ)·G1. Inputs/outputs are Montgomery
+    limbs [n, K]; the constant-Z division lives in the H points, not here.
+    """
+    a_c = ntt(a_ev, inverse=True)
+    b_c = ntt(b_ev, inverse=True)
+    c_c = ntt(c_ev, inverse=True)
+    a_s = ntt(coset_shift(a_c, shift=shift), inverse=False)
+    b_s = ntt(coset_shift(b_c, shift=shift), inverse=False)
+    c_s = ntt(coset_shift(c_c, shift=shift), inverse=False)
+    ab = L.mont_mul(BN254_FR, a_s, b_s)
+    return L.sub_mod(BN254_FR, ab, c_s)
 
 
 def quotient(a_ev: jnp.ndarray, b_ev: jnp.ndarray, c_ev: jnp.ndarray) -> jnp.ndarray:

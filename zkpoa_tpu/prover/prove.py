@@ -25,7 +25,7 @@ from ..ops import msm as msm_mod
 from ..ops.curve_jax import BN254_G1
 from ..ops.fp2_jax import BN254_G2
 from ..ops.limbs import BN254_FR
-from ..ops.ntt import quotient
+from ..ops.ntt import coset_qap_evals, quotient
 from .groth16 import Proof
 from .setup import ProvingKey
 
@@ -36,19 +36,38 @@ def _rand_fr(seed: str, label: str) -> int:
     return int.from_bytes(h, "big") % R
 
 
-def compute_h_coeffs(r1cs: R1CS, witness: Sequence[int], domain_size: int) -> List[int]:
-    """h(X) = (A·B - C)/Z coefficients via device NTTs."""
+def _qap_domain_evals(r1cs: R1CS, witness: Sequence[int], domain_size: int):
     a_ev, b_ev, c_ev = r1cs.eval_matrices(witness)
     if not r1cs.c_rows and r1cs.n_constraints:
         # zkey-imported systems carry only A/B rows (a .zkey stores no C
         # matrix); for a satisfying witness C's domain evaluations equal
         # A·B pointwise, which is all the quotient needs.
         c_ev = [a * b % R for a, b in zip(a_ev, b_ev)]
-    m = domain_size
-    pad = [0] * (m - len(a_ev))
+    pad = [0] * (domain_size - len(a_ev))
     enc = BN254_FR.encode
-    h_m = quotient(enc(a_ev + pad), enc(b_ev + pad), enc(c_ev + pad))
+    return enc(a_ev + pad), enc(b_ev + pad), enc(c_ev + pad)
+
+
+def compute_h_coeffs(r1cs: R1CS, witness: Sequence[int], domain_size: int) -> List[int]:
+    """h(X) = (A·B - C)/Z coefficients via device NTTs."""
+    a_m, b_m, c_m = _qap_domain_evals(r1cs, witness, domain_size)
+    h_m = quotient(a_m, b_m, c_m)
     return [int(x) for x in BN254_FR.decode(h_m)]
+
+
+def compute_h_operand(
+    r1cs: R1CS, witness: Sequence[int], domain_size: int, h_basis: str
+) -> List[int]:
+    """The scalar operand for the H-query MSM, per the zkey's section-9
+    basis (prover/setup.py ProvingKey.h_basis): h coefficients for our
+    monomial basis, or coset evaluations of A·B−C for the snarkjs
+    coset-Lagrange convention (what rapidsnark MSMs against pointsH)."""
+    if h_basis == "monomial":
+        return compute_h_coeffs(r1cs, witness, domain_size)
+    if h_basis == "coset":
+        a_m, b_m, c_m = _qap_domain_evals(r1cs, witness, domain_size)
+        return [int(x) for x in BN254_FR.decode(coset_qap_evals(a_m, b_m, c_m))]
+    raise ValueError(f"unknown h_basis {h_basis!r}")
 
 
 def prove(
@@ -63,7 +82,8 @@ def prove(
     r = _rand_fr(seed, "r") if r is None else r % R
     s = _rand_fr(seed, "s") if s is None else s % R
 
-    h_coeffs = compute_h_coeffs(r1cs, witness, pk.domain_size)
+    h_basis = getattr(pk, "h_basis", "monomial")
+    h_coeffs = compute_h_operand(r1cs, witness, pk.domain_size, h_basis)
 
     w = [int(x) % R for x in witness]
     priv = w[pk.n_public + 1 :]

@@ -45,7 +45,7 @@ class ProvingKey:
     a_query: List
     b1_query: List
     c_query: List  # index k-(n_public+1) for private wires
-    h_query: List  # (tau^i * Z(tau) / delta) G1, i < domain_size - 1
+    h_query: List  # see h_basis: monomial (tau^i Z(tau)/delta)G1 or coset-Lagrange
     alpha1: Tuple[int, int]
     beta1: Tuple[int, int]
     delta1: Tuple[int, int]
@@ -54,6 +54,12 @@ class ProvingKey:
     beta2: Tuple
     delta2: Tuple
     vk_json: Dict
+    # Section-9 basis convention for h_query (utils/binfmt.py docstring):
+    #   'monomial': H_i = (tau^i · Z(tau)/delta)·G1, len = domain_size - 1
+    #   'coset':    H_i = L_i^{coset}(tau)·Z(tau)/((g^n−1)·delta)·G1, len =
+    #               domain_size — snarkjs/rapidsnark convention (the prover
+    #               MSMs coset evaluations of A·B−C against these directly).
+    h_basis: str = "monomial"
 
 
 def _batch_inv(vals: Sequence[int]) -> List[int]:
@@ -137,7 +143,9 @@ def qap_evaluate_at_tau(r1cs: R1CS, tau: int, domain_size: int):
     return a_t, b_t, c_t, z_tau
 
 
-def setup(r1cs: R1CS, seed: str = "zkpoa-test-srs") -> ProvingKey:
+def setup(
+    r1cs: R1CS, seed: str = "zkpoa-test-srs", h_basis: str = "monomial"
+) -> ProvingKey:
     tau = _hash_to_fr(seed, "tau")
     alpha = _hash_to_fr(seed, "alpha")
     beta = _hash_to_fr(seed, "beta")
@@ -164,12 +172,33 @@ def setup(r1cs: R1CS, seed: str = "zkpoa-test-srs") -> ProvingKey:
         (beta * a_t[k] + alpha * b_t[k] + c_t[k]) % R * delta_inv % R
         for k in range(n_pub + 1, n_vars)
     ]
-    # H-query scalars: tau^i * Z(tau) / delta
-    h_scalars = []
-    t_pow = z_tau * delta_inv % R
-    for _ in range(m - 1):
-        h_scalars.append(t_pow)
-        t_pow = t_pow * tau % R
+    if h_basis == "monomial":
+        # H-query scalars: tau^i * Z(tau) / delta
+        h_scalars = []
+        t_pow = z_tau * delta_inv % R
+        for _ in range(m - 1):
+            h_scalars.append(t_pow)
+            t_pow = t_pow * tau % R
+    elif h_basis == "coset":
+        # snarkjs convention: H_i = L_i^{coset}(tau)·Z(tau)/((g^m−1)·delta)
+        # where the coset nodes are g·w^i and L_i^{coset}(X) = L_i(X/g).
+        from ..ops.ntt import SNARKJS_COSET_SHIFT, domain_root
+
+        g = SNARKJS_COSET_SHIFT
+        w = domain_root(m.bit_length() - 1)
+        tp = tau * pow(g, -1, R) % R  # tau/g: evaluate standard L_i here
+        zp = (pow(tp, m, R) - 1) % R
+        if zp == 0:
+            raise ValueError("tau hit the coset domain; pick another seed")
+        zc_inv = pow((pow(g, m, R) - 1) % R, -1, R)
+        roots = [1] * m
+        for i in range(1, m):
+            roots[i] = roots[i - 1] * w % R
+        denom_inv = _batch_inv([(tp - roots[i]) % R for i in range(m)])
+        scale = zp * pow(m, -1, R) % R * z_tau % R * zc_inv % R * delta_inv % R
+        h_scalars = [scale * roots[i] % R * denom_inv[i] % R for i in range(m)]
+    else:
+        raise ValueError(f"unknown h_basis {h_basis!r}")
 
     # --- all point generation on TPU (batched fixed-base) ---
     g1_scalars = (
@@ -214,4 +243,5 @@ def setup(r1cs: R1CS, seed: str = "zkpoa-test-srs") -> ProvingKey:
         beta2=beta2,
         delta2=delta2,
         vk_json=vk.to_json(),
+        h_basis=h_basis,
     )

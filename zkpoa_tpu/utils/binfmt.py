@@ -18,12 +18,17 @@ Field elements are fixed-width little-endian; `.zkey` curve points are
 stored in Montgomery form (x·2^256 mod q), matching snarkjs' toRprLEM
 convention. Infinity is all-zero bytes.
 
-Section 9 (H points) deviation — documented, deliberate: snarkjs stores the
-H basis over a shifted (coset) Lagrange domain tied to ffjavascript
-internals; we store the textbook monomial basis (tau^i · Z(tau) / delta)·G1
-that our NTT-based prover consumes directly (zkpoa_tpu/prover/prove.py).
-Both are valid Groth16 CRS encodings of the same trusted setup; a foreign
-snarkjs zkey's section 9 would need a basis conversion before TPU proving.
+Section 9 (H points) — BOTH conventions are supported, selected by the
+ProvingKey's `h_basis` (prover/setup.py):
+  * 'monomial' (our native default): (tau^i · Z(tau)/delta)·G1, which the
+    NTT quotient path consumes directly (zkpoa_tpu/prover/prove.py);
+  * 'coset' (snarkjs/rapidsnark convention): coset-Lagrange points
+    L_i^{coset}(tau)·Z(tau)/((g^n−1)·delta)·G1 with g = ffjavascript's
+    shift = nqr² = 25 — the prover then MSMs coset evaluations of A·B−C
+    against them exactly as rapidsnark does (ops/ntt.py coset_qap_evals).
+The container itself carries no basis marker (neither does snarkjs'), so
+read_zkey takes the convention as a parameter: pass h_basis='coset' when
+ingesting a foreign snarkjs-generated zkey.
 """
 
 from __future__ import annotations
@@ -308,7 +313,8 @@ def write_zkey(path: str, pk, r1cs) -> None:
     pts_b1 = b"".join(_g1_bytes(p) for p in pk.b1_query)
     pts_b2 = b"".join(_g2_bytes(p) for p in pk.b2_query)
     pts_c = b"".join(_g1_bytes(p) for p in pk.c_query)
-    # pad H to domainSize with infinity (basis note in module docstring)
+    # monomial basis holds domainSize-1 points: pad to domainSize with
+    # infinity; coset basis is exactly domainSize (module docstring)
     h_pts = list(pk.h_query) + [None] * (pk.domain_size - len(pk.h_query))
     pts_h = b"".join(_g1_bytes(p) for p in h_pts)
     contributions = b"\0" * 64 + struct.pack("<I", 0)
@@ -332,9 +338,12 @@ def write_zkey(path: str, pk, r1cs) -> None:
     )
 
 
-def read_zkey(path: str):
+def read_zkey(path: str, h_basis: str = "monomial"):
     """Parse a .zkey into (ProvingKey, coeffs) where coeffs is the section-4
-    list of (matrix, constraint, signal, value) with canonical Fr values."""
+    list of (matrix, constraint, signal, value) with canonical Fr values.
+
+    h_basis selects the section-9 convention (module docstring): 'monomial'
+    for zkeys we wrote natively, 'coset' for snarkjs/rapidsnark zkeys."""
     from ..prover.groth16 import VerifyingKey
     from ..prover.setup import ProvingKey
 
@@ -392,9 +401,10 @@ def read_zkey(path: str):
     b2_query = g2_list(_one(sections, 7))
     c_query = g1_list(_one(sections, 8))
     h_query = g1_list(_one(sections, 9))
-    # drop the infinity padding we write at the tail of section 9
-    while h_query and h_query[-1] is None:
-        h_query.pop()
+    if h_basis == "monomial":
+        # drop the infinity padding we write at the tail of section 9
+        while h_query and h_query[-1] is None:
+            h_query.pop()
 
     vk = VerifyingKey(alpha1, beta2, gamma2, delta2, ic, n_public)
     pk = ProvingKey(
@@ -412,6 +422,7 @@ def read_zkey(path: str):
         beta2=beta2,
         delta2=delta2,
         vk_json=vk.to_json(),
+        h_basis=h_basis,
     )
     return pk, coeffs
 
