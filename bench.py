@@ -8,11 +8,15 @@ layer-1 circuit in ~60 s on 32 cores; that proof is ~3 G1 MSMs of 58M, one
 H-query MSM of ~64M, and one G2 MSM of 58M (~2.5x G1 cost) — roughly
 360M G1-point-equivalents/min ~= 6.0 Mpoints/s. vs_baseline = ours / 6.0.
 
-Timing protocol: the axon tunnel's block_until_ready returns before device
-work completes, and fetching large arrays measures the (slow) tunnel, not
-the chip. So K MSMs are chained inside ONE jit (scalars varied per
-iteration on-device) returning a single summed point, and the per-MSM time
-is the K=K1 vs K=K2 difference — transfer latency and dispatch cancel.
+Uses the fused Pallas MSM (zkpoa_tpu.ops.msm_pallas): VMEM-resident
+buckets, signed digits, top-window spreading. Timing protocol: K separate
+device calls are queued back-to-back (async dispatch) and synced with one
+tiny fetch; per-MSM time is the K=3 vs K=1 difference so the tunnel round
+trip and fixed dispatch costs cancel.
+
+Correctness is checked exactly: the bench points are P_i = g_i * G for
+host-known g_i, so the true MSM result is (sum_i s_i * g_i mod r) * G —
+one host scalar-mul, no host MSM needed.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -21,87 +25,127 @@ import json
 import os
 import sys
 import time
-from functools import partial
 
-# persistent compile cache: the fused pallas kernels are compile-heavy;
-# warm runs (and the driver's bench invocation) reuse cached executables
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/zkpoa_jax"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-REPO = "/root/repo"
+REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+import jax.numpy as jnp  # noqa: E402
+
 from zkpoa_tpu.fields import bn254  # noqa: E402
-from zkpoa_tpu.ops import curve_jax, msm as msm_mod  # noqa: E402
+from zkpoa_tpu.ops import curve_jax, msm as msm_mod, msm_pallas as M2  # noqa: E402
 from zkpoa_tpu.ops.curve_jax import BN254_G1  # noqa: E402
 
 CPU_BASELINE_MPOINTS_S = 6.0
 
 
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def batch_jac_to_affine(xs_i, ys_i, zs_i, p):
+    """Host Montgomery batch inversion: Jacobian int coords -> affine."""
+    n = len(zs_i)
+    prefix = [1] * (n + 1)
+    for i, z in enumerate(zs_i):
+        prefix[i + 1] = prefix[i] * z % p
+    inv = pow(prefix[n], -1, p)
+    zinvs = [0] * n
+    for i in range(n - 1, -1, -1):
+        zinvs[i] = prefix[i] * inv % p
+        inv = inv * zs_i[i] % p
+    ax, ay = [0] * n, [0] * n
+    for i in range(n):
+        zi2 = zinvs[i] * zinvs[i] % p
+        ax[i] = xs_i[i] * zi2 % p
+        ay[i] = ys_i[i] * zi2 % p * zinvs[i] % p
+    return ax, ay
+
+
 def main():
     log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 17
+    c = int(sys.argv[2]) if len(sys.argv) > 2 else 11
     n = 1 << log_n
-    c = 13 if log_n >= 16 else max(8, log_n - 4)
     rng = np.random.default_rng(0)
 
-    # --- setup (untimed): n pseudo-random curve points via windowed
-    # fixed-base scalar mult on device; random scalars --------------------
+    # --- setup (untimed): n points P_i = g_i * G via device fixed-base ----
+    t0 = time.perf_counter()
     gen_scalars = [int(x) for x in rng.integers(1, 2**63, size=n, dtype=np.uint64)]
     sc_gen = jnp.asarray(msm_mod.scalars_to_limbs(gen_scalars))
     pts_jac = curve_jax.fixed_base_mul_batch(
         BN254_G1, "bn254_g1", bn254.G1_GEN, bn254.g1_add, sc_gen, 64
     )
-    # to affine via host only for a SMALL correctness sample; the bench set
-    # is normalized on device: affine x = X/Z^2, y = Y/Z^3 — instead of a
-    # device inverse (not implemented), reuse Jacobian points by scaling:
-    # treat (X, Y) of z-normalized subset. Simplest exact route: decode a
-    # small sample for correctness, and use raw Montgomery-limb X/Y with
-    # valid=all for the throughput measurement (identical op mix).
-    xs, ys = pts_jac[0], pts_jac[1]
+    spec = BN254_G1.field
+    coords = [spec.from_limbs(np.asarray(spec.from_mont(pc))) for pc in pts_jac]
+    log(f"fixed-base gen + fetch: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    ax, ay = batch_jac_to_affine(
+        [int(v) for v in coords[0]],
+        [int(v) for v in coords[1]],
+        [int(v) for v in coords[2]],
+        bn254.P,
+    )
+    xs = jnp.asarray(spec.to_limbs(ax))
+    ys = jnp.asarray(spec.to_limbs(ay))
+    xs = spec.to_mont(xs)
+    ys = spec.to_mont(ys)
+    log(f"host batch-affine + re-encode: {time.perf_counter() - t0:.1f}s")
+
+    n_sets = 4
+    scalar_sets = []
+    sc0 = np.array(
+        [int.from_bytes(rng.bytes(32), "big") % bn254.R for _ in range(n)], dtype=object
+    )
+    for i in range(n_sets):
+        scalar_sets.append(np.roll(sc0, i))
+    sc_limbs = [msm_mod.scalars_to_limbs(list(s)) for s in scalar_sets]
+
+    # one shared plan (max static rounds over all sets -> one compile)
+    plans = [M2.plan_msm(s, 254, c) for s in sc_limbs]
+    rounds = max(p.rounds for p in plans)
+    plan = M2.MsmPlan(254, c, n, rounds)
+    log(f"plan: c={c} nw={plan.nw} nb={plan.nb} lanes={plan.lanes} rounds={rounds}")
+
+    sc_dev = [jnp.asarray(s) for s in sc_limbs]
     valid = jnp.ones((n,), dtype=bool)
 
-    msm_scalars = [int.from_bytes(rng.bytes(32), "big") % bn254.R for _ in range(n)]
-    sc_np = msm_mod.scalars_to_limbs(msm_scalars)
-    sc = jnp.asarray(sc_np)
-    # static accumulation bound: exact occupancy (roll-invariant multiset),
-    # pow2-rounded — the data-dependent while_loop costs ~20ms/iteration
-    # through the axon tunnel (14x the whole MSM)
-    occ = msm_mod.host_occupancy(sc_np, 254, c)
-    rounds = 1 << (occ - 1).bit_length()
+    def run(i):
+        return M2.msm_tpu(BN254_G1, xs, ys, sc_limbs[i], point_valid=valid, plan=plan)
 
-    @partial(jax.jit, static_argnums=0)
-    def bench_k(k):
-        def body(i, acc):
-            sc_i = jnp.roll(sc, i, axis=0)
-            res = msm_mod.msm_impl(BN254_G1, xs, ys, sc_i, 254, c,
-                                   point_valid=valid, static_rounds=rounds)
-            return BN254_G1.add(acc, jax.tree.map(lambda a: a[None], res))
-        acc0 = BN254_G1.infinity((1,))
-        out = jax.lax.fori_loop(0, k, body, acc0)
-        return out[0].sum() + out[1].sum() + out[2].sum()
-
-    reps = 3
-    v = np.asarray(bench_k(reps))  # compile + warm
     t0 = time.perf_counter()
-    v = np.asarray(bench_k(reps))
-    dt = (time.perf_counter() - t0) / reps
+    res0 = run(0)
+    np.asarray(res0[0])
+    log(f"warm (compile): {time.perf_counter() - t0:.1f}s")
 
-    # correctness spot-check (small host-verifiable MSM)
-    k_check = 32
-    pts_small = [bn254.g1_mul(bn254.G1_GEN, k + 1) for k in range(k_check)]
-    host = None
-    for p, s in zip(pts_small, msm_scalars[:k_check]):
-        host = bn254.g1_add(host, bn254.g1_mul(p, s))
-    dev_small = msm_mod.msm(BN254_G1, pts_small, msm_scalars[:k_check], c=8)
-    assert dev_small == host, "MSM correctness check failed"
+    # K-difference timing
+    t0 = time.perf_counter()
+    r = run(1)
+    np.asarray(r[0][0])
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rs = [run(i) for i in (1, 2, 3)]
+    np.asarray(rs[-1][0][0])
+    t3 = time.perf_counter() - t0
+    per_msm = max((t3 - t1) / 2, 1e-9)
+    log(f"T(1)={t1:.3f}s T(3)={t3:.3f}s per_msm={per_msm:.3f}s")
 
-    mpoints_s = n / dt / 1e6
+    # exact correctness: sum_i s_i * g_i mod r, one host scalar-mul
+    expected_k = 0
+    for s, g in zip(scalar_sets[0], gen_scalars):
+        expected_k += int(s) * g
+    expected = bn254.g1_mul(bn254.G1_GEN, expected_k % bn254.R)
+    got = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], res0))[0]
+    assert got == expected, "MSM correctness check failed"
+    log("correctness: OK")
+
+    mpoints_s = n / per_msm / 1e6
     print(
         json.dumps(
             {

@@ -1,0 +1,446 @@
+"""Fused Pippenger MSM for TPU: VMEM-resident buckets, one kernel per MSM.
+
+This replaces the round-at-a-time msm.py device path (which round-trips the
+full bucket state through HBM every round and pays a pow2-rounded global
+round bound) with a single `pallas_call` whose grid runs over accumulation
+rounds while the whole bucket array stays resident in VMEM:
+
+  * signed digits: window digits are recoded to d in [-2^(c-1), 2^(c-1)]
+    so 2^(c-1) buckets per window suffice (negative digits use -P, i.e. a
+    gather from a pre-negated y array). Bucket j holds digit j+1.
+  * top-window spreading: the top window only spans the left-over high
+    bits of the scalar (254 mod c), so its per-bucket occupancy — and with
+    it the global round count — would be ~2^(c-1-top_bits) times worse
+    than the body windows (measured 2048 vs ~40 rounds at N=2^17, c=13 in
+    the old kernel). The top window's points are spread round-robin over
+    `spread = nb / range_top` bucket aliases, folded back before the
+    weighted reduction. This keeps ALL windows' occupancy ~N/2^(c-1).
+  * conflict-free rounds: per window, points are argsorted by bucket slot;
+    round r adds the r-th point of every (window, bucket) run at once. The
+    per-round point stream is pre-gathered by XLA into [R, K, L] (limb-
+    major, L = nw * nb lanes); the kernel reads one [K, L] block per grid
+    step and accumulates into VMEM-resident Jacobian bucket outputs.
+  * weighted bucket reduction sum_j (j+1) B_j via halving folds:
+    T(B[0..m)) = T(B_lo + B_hi) + h * S(B_hi). The h*S terms telescope into
+    one double+add per level (E <- 2E + S_hi gives sum_t 2^(T-t) S_t =
+    sum_t h_t S_t exactly when h_t = nb/2^t). ~2*nb lane-adds per window
+    vs the old double-suffix-scan's 2*c*nb.
+
+Replaces rapidsnark's CPU MSM (reference scripts/g16_prove.sh:246-252,
+SURVEY.md §2.5); the whole pipeline is exact uint32 limb arithmetic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import limbs as L
+from . import pallas_field as PF
+from .limbs import LIMB_BITS, FieldSpec
+
+ROUND_GRANULE = 16  # static round counts rounded up to this (compile reuse)
+LANE_TILE = 4096  # lane-axis tile of the accumulation kernel (VMEM budget)
+
+
+# ---------------------------------------------------------------------------
+# Planning (host): window geometry + static round bound
+# ---------------------------------------------------------------------------
+
+
+class MsmPlan:
+    """Static geometry of one MSM kernel invocation (hashable: used as a
+    jit static argument)."""
+
+    def __init__(self, n_bits: int, c: int, n: int, rounds: int):
+        assert 2 <= c <= LIMB_BITS and c * ((n_bits + c - 1) // c) > n_bits, (
+            "c must not divide n_bits (the top window absorbs the recoding "
+            "carry only when its digit range stays below 2^(c-1))"
+        )
+        self.n_bits = n_bits
+        self.c = c
+        self.n = n
+        self.nb = 1 << (c - 1)  # buckets per window (signed digits)
+        # No extra carry window: the top window spans rem = n_bits - c*(nw-1)
+        # < c bits, so its digit e <= 2^rem (incl. carry-in) <= 2^(c-1) never
+        # triggers the negative recoding and never carries out.
+        self.nw = (n_bits + c - 1) // c
+        rem = n_bits - c * (self.nw - 1)
+        self.range_top = (1 << rem) + 1  # top |digit| in [0, 2^rem]
+        spread = self.nb // self.range_top
+        self.spread = 1 << max(spread.bit_length() - 1, 0) if spread >= 1 else 1
+        self.rounds = rounds
+        self.lanes = self.nw * self.nb
+
+    def key(self):
+        return (self.n_bits, self.c, self.n, self.rounds)
+
+    def __hash__(self):
+        return hash(self.key())
+
+    def __eq__(self, other):
+        return isinstance(other, MsmPlan) and self.key() == other.key()
+
+
+def _digits_signed_np(scalars_limbs: np.ndarray, plan: MsmPlan):
+    """Numpy mirror of the on-device recoding — used for the static round
+    bound (scalars are host-known in the prover) and in tests."""
+    n = scalars_limbs.shape[0]
+    c, nw, nb = plan.c, plan.nw, plan.nb
+    half = 1 << (c - 1)
+    carry = np.zeros(n, dtype=np.int64)
+    slots = np.zeros((nw, n), dtype=np.int64)
+    signs = np.zeros((nw, n), dtype=bool)
+    for w in range(nw):
+        off = c * w
+        limb, sh = divmod(off, LIMB_BITS)
+        if limb < scalars_limbs.shape[1]:
+            word = scalars_limbs[:, limb].astype(np.int64) >> sh
+            if sh > 0 and limb + 1 < scalars_limbs.shape[1]:
+                word |= scalars_limbs[:, limb + 1].astype(np.int64) << (LIMB_BITS - sh)
+        else:
+            word = np.zeros(n, dtype=np.int64)
+        e = (word & ((1 << c) - 1)) + carry
+        neg = e > half
+        d = np.where(neg, (1 << c) - e, e)  # |digit|
+        signs[w] = neg & (d > 0)
+        slots[w] = d  # 0 = skip; else bucket slot d-1
+        carry = neg.astype(np.int64)
+    # top-window spread
+    if plan.spread > 1:
+        chunk = np.arange(n, dtype=np.int64) % plan.spread
+        w = nw - 1
+        slots[w] = np.where(slots[w] > 0, slots[w] + plan.range_top * chunk, 0)
+    return slots, signs
+
+
+def plan_msm(
+    scalars_limbs: np.ndarray,
+    n_bits: int,
+    c: int,
+    point_valid: Optional[np.ndarray] = None,
+) -> MsmPlan:
+    """Host planning: compute the exact max bucket occupancy (over all
+    windows, after signed recoding + top spread) and round it to a
+    ROUND_GRANULE multiple for compile-cache reuse."""
+    n = scalars_limbs.shape[0]
+    plan = MsmPlan(n_bits, c, n, rounds=0)
+    slots, _ = _digits_signed_np(scalars_limbs, plan)
+    if point_valid is not None:
+        slots = np.where(np.asarray(point_valid)[None, :], slots, 0)
+    occ = 1
+    for w in range(plan.nw):
+        s = slots[w]
+        s = s[s > 0]
+        if s.size:
+            occ = max(occ, int(np.bincount(s - 1, minlength=plan.nb).max()))
+    rounds = ((occ + ROUND_GRANULE - 1) // ROUND_GRANULE) * ROUND_GRANULE
+    return MsmPlan(n_bits, c, n, rounds)
+
+
+# ---------------------------------------------------------------------------
+# Device digit recoding + sort + stream index computation
+# ---------------------------------------------------------------------------
+
+
+def _digits_signed_jnp(scalars: jnp.ndarray, plan: MsmPlan):
+    """scalars [N, K_s] plain 16-bit limbs -> (slots [nw, N] int32 with 0 =
+    skip / slot+1 otherwise, signs [nw, N] bool). Top window spread applied."""
+    n = scalars.shape[0]
+    c, nw = plan.c, plan.nw
+    half = jnp.int32(1 << (c - 1))
+    full = jnp.int32(1 << c)
+    words = []
+    for w in range(nw):
+        off = c * w
+        limb, sh = divmod(off, LIMB_BITS)
+        if limb < scalars.shape[1]:
+            word = (scalars[:, limb] >> sh).astype(jnp.int32)
+            if sh > 0 and limb + 1 < scalars.shape[1]:
+                word = word | (scalars[:, limb + 1].astype(jnp.int32) << (LIMB_BITS - sh))
+        else:
+            word = jnp.zeros((n,), jnp.int32)
+        words.append(word & jnp.int32((1 << c) - 1))
+    words = jnp.stack(words, axis=0)  # [nw, N]
+
+    def step(carry, e):
+        e = e + carry
+        neg = e > half
+        d = jnp.where(neg, full - e, e)
+        return neg.astype(jnp.int32), (d, neg & (d > 0))
+
+    _, (slots, signs) = jax.lax.scan(step, jnp.zeros((n,), jnp.int32), words)
+    if plan.spread > 1:
+        chunk = (jnp.arange(n, dtype=jnp.int32) % plan.spread) * plan.range_top
+        top = slots[nw - 1]
+        slots = slots.at[nw - 1].set(jnp.where(top > 0, top + chunk, 0))
+    return slots, signs
+
+
+def _sort_and_starts(slots, signs, point_valid, plan: MsmPlan):
+    """Per-window stable sort by bucket slot. Returns (order_y [nw, N] int32
+    gather indices into the [2N]-extended y table encoding the sign,
+    order_x [nw, N], b_start/b_end [nw, nb])."""
+    n = plan.n
+    nb = plan.nb
+    key = jnp.where(slots > 0, slots - 1, nb)  # invalid/skip -> sentinel nb
+    if point_valid is not None:
+        key = jnp.where(point_valid[None, :], key, nb)
+    order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)  # [nw, N]
+    key_sorted = jnp.take_along_axis(key, order, axis=1)
+    sign_sorted = jnp.take_along_axis(signs, order, axis=1)
+    bucket_ids = jnp.arange(nb + 1, dtype=key_sorted.dtype)
+    starts = jax.vmap(lambda row: jnp.searchsorted(row, bucket_ids, side="left"))(
+        key_sorted
+    )  # [nw, nb + 1]
+    order_y = order + jnp.where(sign_sorted, jnp.int32(n), jnp.int32(0))
+    return order_y, order, starts[:, :-1], starts[:, 1:]
+
+
+# ---------------------------------------------------------------------------
+# The accumulation kernel
+# ---------------------------------------------------------------------------
+
+
+def _accum_kernel_body(px_ref, py_ref, v_ref, ox_ref, oy_ref, oz_ref, *, mod, n0, one_m):
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _init():
+        zero = jnp.zeros(ox_ref.shape, ox_ref.dtype)
+        ox_ref[...] = zero
+        oy_ref[...] = zero
+        oz_ref[...] = zero
+
+    k = ox_ref.shape[0]
+    x1 = [ox_ref[j] for j in range(k)]
+    y1 = [oy_ref[j] for j in range(k)]
+    z1 = [oz_ref[j] for j in range(k)]
+    xq = [px_ref[0, j] for j in range(k)]
+    yq = [py_ref[0, j] for j in range(k)]
+    # the valid block carries 8 rounds (TPU min sublane tile); pick ours
+    vq = v_ref[r % 8] != 0
+    x3, y3, z3 = PF._k_jac_add_affine(x1, y1, z1, xq, yq, vq, mod, n0, one_m)
+    ox_ref[...] = PF._stack(x3)
+    oy_ref[...] = PF._stack(y3)
+    oz_ref[...] = PF._stack(z3)
+
+
+def _accumulate_jnp(spec: FieldSpec, px_stream, py_stream, valid_stream):
+    """Reference accumulation with identical semantics to the Pallas kernel:
+    a lax.scan of branchless mixed adds over the round stream. Used on the
+    CPU backend (tests, virtual meshes) and as the cross-check for the
+    fused kernel on hardware."""
+    from .curve_jax import fp_arith, jac_add_affine
+
+    ar = fp_arith(spec)
+    k = spec.n_limbs
+    lanes = px_stream.shape[2]
+    zero = jnp.zeros((lanes, k), dtype=jnp.uint32)
+    acc0 = (zero, zero, zero)
+
+    def step(acc, xs):
+        pxr, pyr, vr = xs  # [K, L], [K, L], [L]
+        out = jac_add_affine(ar, acc, pxr.T, pyr.T, vr != 0)
+        return out, None
+
+    acc, _ = jax.lax.scan(step, acc0, (px_stream, py_stream, valid_stream))
+    return acc[0].T, acc[1].T, acc[2].T
+
+
+def _accumulate(spec: FieldSpec, px_stream, py_stream, valid_stream, plan: MsmPlan):
+    """px/py_stream [R, K, L] uint32 Montgomery coords, valid [R, L] uint32.
+    Returns bucket Jacobian acc as three [K, L] arrays."""
+    import os
+
+    if jax.default_backend() == "cpu" or os.environ.get("ZKPOA_PALLAS") == "0":
+        return _accumulate_jnp(spec, px_stream, py_stream, valid_stream)
+    k = spec.n_limbs
+    lanes = px_stream.shape[2]
+    r = px_stream.shape[0]
+    mod = tuple(int(x) for x in spec.mod_limbs)
+    n0 = int(spec.n0inv)
+    one_m = tuple(int(x) for x in spec.one_mont_limbs)
+
+    # Tile the lane axis so the kernel's live temporaries (the fully
+    # unrolled mixed-add works on ~300 [TILE]-wide rows) fit the ~16MB
+    # scoped-VMEM budget; the acc tile stays VMEM-resident across the inner
+    # rounds axis of the grid (constant index_map in r) and is written back
+    # once per lane tile.
+    tile = LANE_TILE if lanes % LANE_TILE == 0 else lanes
+    ntiles = lanes // tile
+    kernel = functools.partial(_accum_kernel_body, mod=mod, n0=n0, one_m=one_m)
+    coord_in = pl.BlockSpec(
+        (1, k, tile), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    # TPU blocks need sublane dim >= 8: fetch 8 rounds of masks per block
+    flag_in = pl.BlockSpec((8, tile), lambda j, i: (i // 8, j), memory_space=pltpu.VMEM)
+    coord_out = pl.BlockSpec((k, tile), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    ox, oy, oz = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((k, lanes), jnp.uint32)] * 3,
+        grid=(ntiles, r),
+        in_specs=[coord_in, coord_in, flag_in],
+        out_specs=[coord_out] * 3,
+    )(px_stream, py_stream, valid_stream)
+    return ox, oy, oz
+
+
+# ---------------------------------------------------------------------------
+# Bucket reduction (XLA-level, batch-major point pytrees via curve ops).
+# Every step operates on the FIXED [nw, nb] lane shape (masked rolls inside
+# fori_loops) so the whole reduction compiles exactly one add / one double
+# kernel variant — shape-shrinking folds would trigger O(log^2 nb) separate
+# Mosaic compiles of the large unrolled point kernels.
+# ---------------------------------------------------------------------------
+
+
+def _tmap(fn, *trees):
+    return jax.tree.map(fn, *trees)
+
+
+def _masked_roll_add(curve, p, shift, keep_mask):
+    """p[j] += p[j + shift] where keep_mask[j] (else p[j] unchanged), along
+    the bucket axis of [nw, nb] lanes. shift is a traced int32 scalar."""
+    rolled = _tmap(lambda a: jnp.roll(a, -shift, axis=1), p)
+    inf = curve.infinity((p[0].shape[0], p[0].shape[1]))
+    shifted = _tmap(
+        lambda a, b: jnp.where(keep_mask[..., None], a, b), rolled, inf
+    )
+    return curve.add(p, shifted)
+
+
+def _weighted_reduce(curve, buckets, plan: MsmPlan):
+    """buckets: Jacobian pytree with leaves [nw, nb, K]; bucket j of window
+    w holds the sum of points with |digit| == j+1 (top window: slot layout
+    (|d|-1) + range_top*chunk, chunk < spread). Returns the combined MSM
+    result (leaves [K]) including the 2^(c*w) window weighting (Horner)."""
+    nw, nb, c = plan.nw, plan.nb, plan.c
+    bpos = jnp.arange(nb, dtype=jnp.int32)[None, :]
+
+    # fold the top window's spread aliases back onto slots [0, range_top):
+    # log2(spread) masked-roll halvings on the fixed [1, nb] shape.
+    if plan.spread > 1:
+        top = _tmap(lambda a: a[nw - 1 : nw], buckets)
+        shifts = []
+        s = plan.spread
+        while s > 1:
+            s //= 2
+            shifts.append(s * plan.range_top)
+        shifts_arr = jnp.asarray(shifts, dtype=jnp.int32)
+
+        def fold_body(t, p):
+            sh = shifts_arr[t]
+            keep = bpos[:, : plan.nb] < sh  # only slots below the shift fold
+            return _masked_roll_add(curve, p, sh, keep)
+
+        top = jax.lax.fori_loop(0, len(shifts), fold_body, top)
+        # slots >= range_top still hold the stale pre-fold partial sums —
+        # clear them to infinity (z = 0) or the weighted scan would count them
+        keep_final = (bpos < plan.range_top)[..., None]
+        top = _tmap(lambda a: jnp.where(keep_final, a, jnp.zeros_like(a)), top)
+        buckets = _tmap(
+            lambda a, t: jnp.concatenate([a[: nw - 1], t], axis=0), buckets, top
+        )
+
+    # weighted sum per window: T_w = sum_j (j+1) B_j = sum_j suffix_j where
+    # suffix_j = sum_{j'>=j} B_j'. Two Hillis-Steele suffix scans on the
+    # fixed [nw, nb] shape (one add-kernel variant, 2*(c-1) steps).
+    def suffix_scan(p):
+        def step(st, p):
+            sh = jnp.int32(1) << st
+            keep = bpos + sh < nb
+            return _masked_roll_add(curve, p, sh, jnp.broadcast_to(keep, (p[0].shape[0], nb)))
+
+        return jax.lax.fori_loop(0, c - 1, step, p)
+
+    suffix = suffix_scan(buckets)
+    dsuffix = suffix_scan(suffix)
+    totals = _tmap(lambda a: a[:, 0], dsuffix)  # [nw, K]
+
+    # Horner over windows, high first: res = ((T_hi * 2^c) + T_next) ...
+    res = _tmap(lambda a: a[nw - 1 : nw], totals)  # [1, K]
+
+    def horner_body(i, res):
+        w = nw - 2 - i
+        res = jax.lax.fori_loop(0, c, lambda _, p: curve.double(p), res)
+        wt = _tmap(lambda a: jax.lax.dynamic_slice_in_dim(a, w, 1, axis=0), totals)
+        return curve.add(res, wt)
+
+    if nw > 1:
+        res = jax.lax.fori_loop(0, nw - 1, horner_body, res)
+    return _tmap(lambda a: a[0], res)
+
+
+# ---------------------------------------------------------------------------
+# Top-level fused MSM
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _msm_fused(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
+    """xs, ys: [N, K] Montgomery affine coords; scalars [N, K_s] plain
+    limbs; point_valid [N] bool. Single-chunk fused MSM."""
+    spec = curve.field
+    k = spec.n_limbs
+    n, nb, nw, lanes, rounds = plan.n, plan.nb, plan.nw, plan.lanes, plan.rounds
+
+    slots, signs = _digits_signed_jnp(scalars, plan)
+    order_y, order_x, b_start, b_end = _sort_and_starts(slots, signs, point_valid, plan)
+
+    # extended y table: [2N, K] with negated y in the top half (for -P)
+    ys_neg = L.sub_mod(spec, jnp.zeros_like(ys), ys)
+    ys_ext = jnp.concatenate([ys, ys_neg], axis=0)
+
+    # limb-major tables for the gather
+    xs_lm = xs.T  # [K, N]
+    ys_lm = ys_ext.T  # [K, 2N]
+
+    # stream indices: pos[r, w, b] = b_start[w, b] + r
+    r_idx = jnp.arange(rounds, dtype=jnp.int32)
+    pos = b_start[None, :, :] + r_idx[:, None, None]  # [R, nw, nb]
+    valid = pos < b_end[None, :, :]
+    pos_c = jnp.minimum(pos, n - 1)
+    idx_x = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_x, pos_c)
+    idx_y = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_y, pos_c)
+    px = xs_lm[:, idx_x.reshape(rounds, lanes)]  # [K, R, L]
+    py = ys_lm[:, idx_y.reshape(rounds, lanes)]
+    px = jnp.transpose(px, (1, 0, 2))  # [R, K, L]
+    py = jnp.transpose(py, (1, 0, 2))
+    vstream = valid.reshape(rounds, lanes).astype(jnp.uint32)
+
+    ox, oy, oz = _accumulate(spec, px, py, vstream, plan)
+
+    # [K, L] -> batch-major [nw, nb, K]
+    def unlm(a):
+        return a.T.reshape(nw, nb, k)
+
+    buckets = (unlm(ox), unlm(oy), unlm(oz))
+    return _weighted_reduce(curve, buckets, plan)
+
+
+def msm_tpu(
+    curve,
+    xs,
+    ys,
+    scalars_limbs: np.ndarray,
+    n_bits: int = 254,
+    c: int = 11,
+    point_valid: Optional[jnp.ndarray] = None,
+    plan: Optional[MsmPlan] = None,
+):
+    """Fused-kernel MSM. xs/ys [N, K] Montgomery affine device arrays,
+    scalars_limbs host numpy [N, 16] plain limbs. Returns a Jacobian point
+    pytree (leaves [K])."""
+    if plan is None:
+        pv = None if point_valid is None else np.asarray(point_valid)
+        plan = plan_msm(np.asarray(scalars_limbs), n_bits, c, pv)
+    if point_valid is None:
+        point_valid = jnp.ones((plan.n,), dtype=bool)
+    return _msm_fused(curve, plan, xs, ys, jnp.asarray(scalars_limbs), point_valid)
