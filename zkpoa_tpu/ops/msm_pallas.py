@@ -58,7 +58,7 @@ class MsmPlan:
     """Static geometry of one MSM kernel invocation (hashable: used as a
     jit static argument)."""
 
-    def __init__(self, n_bits: int, c: int, n: int, rounds: int):
+    def __init__(self, n_bits: int, c: int, n: int, rounds: int, use_jnp: bool = False):
         assert 2 <= c <= LIMB_BITS and c * ((n_bits + c - 1) // c) > n_bits, (
             "c must not divide n_bits (the top window absorbs the recoding "
             "carry only when its digit range stays below 2^(c-1))"
@@ -66,6 +66,7 @@ class MsmPlan:
         self.n_bits = n_bits
         self.c = c
         self.n = n
+        self.use_jnp = use_jnp  # force the unified jnp accumulator
         self.nb = 1 << (c - 1)  # buckets per window (signed digits)
         # No extra carry window: the top window spans rem = n_bits - c*(nw-1)
         # < c bits, so its digit e <= 2^rem (incl. carry-in) <= 2^(c-1) never
@@ -79,7 +80,7 @@ class MsmPlan:
         self.lanes = self.nw * self.nb
 
     def key(self):
-        return (self.n_bits, self.c, self.n, self.rounds)
+        return (self.n_bits, self.c, self.n, self.rounds, self.use_jnp)
 
     def __hash__(self):
         return hash(self.key())
@@ -208,7 +209,48 @@ def _sort_and_starts(slots, signs, point_valid, plan: MsmPlan):
 # ---------------------------------------------------------------------------
 
 
-def _accum_kernel_body(px_ref, py_ref, v_ref, ox_ref, oy_ref, oz_ref, *, mod, n0, one_m):
+def _k_jac_madd_noexcept(x1, y1, z1, xq, yq, q_valid, mod, n0, one_m):
+    """Mixed add WITHOUT the parallel-double fallback: ~11 field muls
+    instead of ~17. The P == Q case (same x, same y) is NOT computed —
+    it is returned as an exception flag; the caller re-runs through the
+    unified jnp path if any lane ever flags (never, for distinct input
+    points, since a bucket only ever accumulates distinct points)."""
+    mm = lambda p, q: PF.k_mont_mul(p, q, mod, n0)
+    z1z1 = mm(z1, z1)
+    u2 = mm(xq, z1z1)
+    s2 = mm(mm(yq, z1), z1z1)
+    h = PF.k_sub_mod(u2, x1, mod)
+    r = PF.k_sub_mod(s2, y1, mod)
+    hh = mm(h, h)
+    hhh = mm(h, hh)
+    v = mm(x1, hh)
+    x3 = PF.k_sub_mod(PF.k_sub_mod(mm(r, r), hhh, mod), PF.k_dbl_mod(v, mod), mod)
+    y3 = PF.k_sub_mod(mm(r, PF.k_sub_mod(v, x3, mod)), mm(y1, hhh), mod)
+    z3 = mm(z1, h)
+
+    p_inf = PF.k_is_zero(z1)
+    same_x = PF.k_is_zero(h)
+    same_y = PF.k_is_zero(r)
+    is_double = jnp.logical_and(jnp.logical_and(same_x, same_y),
+                                jnp.logical_not(p_inf))
+    is_cancel = jnp.logical_and(same_x, jnp.logical_not(same_y))
+
+    zero = [jnp.zeros_like(z3[0])] * len(z3)
+    one = [jnp.full_like(z3[0], one_m[j]) for j in range(len(z3))]
+    z3 = PF.k_select(is_cancel, zero, z3)
+    x3 = PF.k_select(p_inf, xq, x3)
+    y3 = PF.k_select(p_inf, yq, y3)
+    z3 = PF.k_select(p_inf, one, z3)
+    invalid = jnp.logical_not(q_valid)
+    x3 = PF.k_select(invalid, x1, x3)
+    y3 = PF.k_select(invalid, y1, y3)
+    z3 = PF.k_select(invalid, z1, z3)
+    exc = jnp.logical_and(is_double, q_valid)
+    return x3, y3, z3, exc
+
+
+def _accum_kernel_body(px_ref, py_ref, v_ref, ox_ref, oy_ref, oz_ref, oe_ref,
+                       *, mod, n0, one_m):
     r = pl.program_id(1)
 
     @pl.when(r == 0)
@@ -217,6 +259,7 @@ def _accum_kernel_body(px_ref, py_ref, v_ref, ox_ref, oy_ref, oz_ref, *, mod, n0
         ox_ref[...] = zero
         oy_ref[...] = zero
         oz_ref[...] = zero
+        oe_ref[...] = jnp.zeros(oe_ref.shape, oe_ref.dtype)
 
     k = ox_ref.shape[0]
     x1 = [ox_ref[j] for j in range(k)]
@@ -226,17 +269,19 @@ def _accum_kernel_body(px_ref, py_ref, v_ref, ox_ref, oy_ref, oz_ref, *, mod, n0
     yq = [py_ref[0, j] for j in range(k)]
     # the valid block carries 8 rounds (TPU min sublane tile); pick ours
     vq = v_ref[r % 8] != 0
-    x3, y3, z3 = PF._k_jac_add_affine(x1, y1, z1, xq, yq, vq, mod, n0, one_m)
+    x3, y3, z3, exc = _k_jac_madd_noexcept(x1, y1, z1, xq, yq, vq, mod, n0, one_m)
     ox_ref[...] = PF._stack(x3)
     oy_ref[...] = PF._stack(y3)
     oz_ref[...] = PF._stack(z3)
+    oe_ref[0] = oe_ref[0] | exc.astype(jnp.uint32)
 
 
 def _accumulate_jnp(spec: FieldSpec, px_stream, py_stream, valid_stream):
-    """Reference accumulation with identical semantics to the Pallas kernel:
-    a lax.scan of branchless mixed adds over the round stream. Used on the
-    CPU backend (tests, virtual meshes) and as the cross-check for the
-    fused kernel on hardware."""
+    """Reference accumulation with the same statement as the Pallas kernel
+    but UNIFIED adds (P == Q handled): a lax.scan of branchless mixed adds
+    over the round stream. Used on the CPU backend (tests, virtual meshes),
+    as the fallback when the fast kernel flags an in-bucket doubling, and
+    as the cross-check for the fused kernel on hardware."""
     from .curve_jax import fp_arith, jac_add_affine
 
     ar = fp_arith(spec)
@@ -251,15 +296,21 @@ def _accumulate_jnp(spec: FieldSpec, px_stream, py_stream, valid_stream):
         return out, None
 
     acc, _ = jax.lax.scan(step, acc0, (px_stream, py_stream, valid_stream))
-    return acc[0].T, acc[1].T, acc[2].T
+    return acc[0].T, acc[1].T, acc[2].T, jnp.zeros((lanes,), jnp.uint32)
 
 
 def _accumulate(spec: FieldSpec, px_stream, py_stream, valid_stream, plan: MsmPlan):
     """px/py_stream [R, K, L] uint32 Montgomery coords, valid [R, L] uint32.
-    Returns bucket Jacobian acc as three [K, L] arrays."""
+    Returns bucket Jacobian acc as three [K, L] arrays plus a [L] exception
+    row: nonzero lanes hit an in-bucket P == Q doubling the fast kernel
+    does not compute (re-run via the unified jnp path)."""
     import os
 
-    if jax.default_backend() == "cpu" or os.environ.get("ZKPOA_PALLAS") == "0":
+    if (
+        jax.default_backend() == "cpu"
+        or os.environ.get("ZKPOA_PALLAS") == "0"
+        or plan.use_jnp
+    ):
         return _accumulate_jnp(spec, px_stream, py_stream, valid_stream)
     k = spec.n_limbs
     lanes = px_stream.shape[2]
@@ -282,14 +333,16 @@ def _accumulate(spec: FieldSpec, px_stream, py_stream, valid_stream, plan: MsmPl
     # TPU blocks need sublane dim >= 8: fetch 8 rounds of masks per block
     flag_in = pl.BlockSpec((8, tile), lambda j, i: (i // 8, j), memory_space=pltpu.VMEM)
     coord_out = pl.BlockSpec((k, tile), lambda j, i: (0, j), memory_space=pltpu.VMEM)
-    ox, oy, oz = pl.pallas_call(
+    exc_out = pl.BlockSpec((8, tile), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    ox, oy, oz, oe = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((k, lanes), jnp.uint32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((k, lanes), jnp.uint32)] * 3
+        + [jax.ShapeDtypeStruct((8, lanes), jnp.uint32)],
         grid=(ntiles, r),
         in_specs=[coord_in, coord_in, flag_in],
-        out_specs=[coord_out] * 3,
+        out_specs=[coord_out] * 3 + [exc_out],
     )(px_stream, py_stream, valid_stream)
-    return ox, oy, oz
+    return ox, oy, oz, oe[0]
 
 
 # ---------------------------------------------------------------------------
@@ -386,7 +439,8 @@ def _weighted_reduce(curve, buckets, plan: MsmPlan):
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _msm_fused(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
     """xs, ys: [N, K] Montgomery affine coords; scalars [N, K_s] plain
-    limbs; point_valid [N] bool. Single-chunk fused MSM."""
+    limbs; point_valid [N] bool. Single-chunk fused MSM. Returns
+    (jacobian result leaves [K], exception flag count)."""
     spec = curve.field
     k = spec.n_limbs
     n, nb, nw, lanes, rounds = plan.n, plan.nb, plan.nw, plan.lanes, plan.rounds
@@ -398,10 +452,6 @@ def _msm_fused(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
     ys_neg = L.sub_mod(spec, jnp.zeros_like(ys), ys)
     ys_ext = jnp.concatenate([ys, ys_neg], axis=0)
 
-    # limb-major tables for the gather
-    xs_lm = xs.T  # [K, N]
-    ys_lm = ys_ext.T  # [K, 2N]
-
     # stream indices: pos[r, w, b] = b_start[w, b] + r
     r_idx = jnp.arange(rounds, dtype=jnp.int32)
     pos = b_start[None, :, :] + r_idx[:, None, None]  # [R, nw, nb]
@@ -409,20 +459,21 @@ def _msm_fused(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
     pos_c = jnp.minimum(pos, n - 1)
     idx_x = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_x, pos_c)
     idx_y = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_y, pos_c)
-    px = xs_lm[:, idx_x.reshape(rounds, lanes)]  # [K, R, L]
-    py = ys_lm[:, idx_y.reshape(rounds, lanes)]
-    px = jnp.transpose(px, (1, 0, 2))  # [R, K, L]
-    py = jnp.transpose(py, (1, 0, 2))
+    # row gathers (contiguous 64B rows — TPU-friendly), then limb-major
+    px = xs[idx_x.reshape(-1)].reshape(rounds, lanes, k)
+    py = ys_ext[idx_y.reshape(-1)].reshape(rounds, lanes, k)
+    px = jnp.transpose(px, (0, 2, 1))  # [R, K, L]
+    py = jnp.transpose(py, (0, 2, 1))
     vstream = valid.reshape(rounds, lanes).astype(jnp.uint32)
 
-    ox, oy, oz = _accumulate(spec, px, py, vstream, plan)
+    ox, oy, oz, exc = _accumulate(spec, px, py, vstream, plan)
 
     # [K, L] -> batch-major [nw, nb, K]
     def unlm(a):
         return a.T.reshape(nw, nb, k)
 
     buckets = (unlm(ox), unlm(oy), unlm(oz))
-    return _weighted_reduce(curve, buckets, plan)
+    return _weighted_reduce(curve, buckets, plan), jnp.sum(exc)
 
 
 def msm_tpu(
@@ -437,10 +488,20 @@ def msm_tpu(
 ):
     """Fused-kernel MSM. xs/ys [N, K] Montgomery affine device arrays,
     scalars_limbs host numpy [N, 16] plain limbs. Returns a Jacobian point
-    pytree (leaves [K])."""
+    pytree (leaves [K]).
+
+    The fast kernel skips the P == Q doubling case (impossible when the
+    input points are distinct, as zkey/table points are); if any bucket
+    lane flags it, the MSM transparently re-runs through the unified jnp
+    accumulator (ZKPOA_PALLAS=0 semantics)."""
     if plan is None:
         pv = None if point_valid is None else np.asarray(point_valid)
         plan = plan_msm(np.asarray(scalars_limbs), n_bits, c, pv)
     if point_valid is None:
         point_valid = jnp.ones((plan.n,), dtype=bool)
-    return _msm_fused(curve, plan, xs, ys, jnp.asarray(scalars_limbs), point_valid)
+    sc_dev = jnp.asarray(scalars_limbs)
+    res, exc = _msm_fused(curve, plan, xs, ys, sc_dev, point_valid)
+    if jax.default_backend() != "cpu" and not plan.use_jnp and int(exc) != 0:
+        slow = MsmPlan(plan.n_bits, plan.c, plan.n, plan.rounds, use_jnp=True)
+        res, _ = _msm_fused(curve, slow, xs, ys, sc_dev, point_valid)
+    return res
