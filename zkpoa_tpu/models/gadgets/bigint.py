@@ -361,6 +361,208 @@ def ff_select(c: Circuit, sel: AnyLC, a: FF, b: FF) -> FF:
     return FF(spec, out_limbs, value)
 
 
+# ---------------------------------------------------------------------------
+# Unreduced values and check-style multiplication (the cheap path).
+#
+# The ff_mul/ff_add family above materializes and canonicalizes every
+# intermediate (witness + range check + big_less_than) — ~1.4k constraints
+# per multiply. The gadgets below implement the classic cheaper pattern the
+# reference's circom-ecdsa/batch-ecdsa libraries rely on (SURVEY.md §2.2):
+# additions/subtractions stay FREE (limbwise LC arithmetic with static
+# signed bounds), and each point-formula equation is checked as ONE
+# congruence  sum_t s_t * a_t * b_t - lin ≡ 0 (mod p)  with a signed
+# quotient witness and a single carry chain (~0.8-1k constraints).
+# ---------------------------------------------------------------------------
+
+
+class FFU:
+    """Unreduced foreign-field value: k limb LCs with a static bound
+    |limb_i| <= bound (signed), plus the exact signed integer value."""
+
+    __slots__ = ("spec", "limbs", "value", "bound")
+
+    def __init__(self, spec: FFSpec, limbs: List[LC], value: int, bound: int):
+        self.spec = spec
+        self.limbs = limbs
+        self.value = int(value)
+        self.bound = int(bound)
+
+
+def ffu(a: FF) -> FFU:
+    return FFU(a.spec, [_lc(x) for x in a.limbs], a.value, (1 << a.spec.n) - 1)
+
+
+def ffu_const(spec: FFSpec, v: int) -> FFU:
+    v = int(v) % spec.p
+    return FFU(spec, [LC.const(x) for x in spec.to_limbs(v)], v, (1 << spec.n) - 1)
+
+
+def ffu_add(a: FFU, b: FFU) -> FFU:
+    return FFU(
+        a.spec,
+        [x + y for x, y in zip(a.limbs, b.limbs)],
+        a.value + b.value,
+        a.bound + b.bound,
+    )
+
+
+def ffu_sub(a: FFU, b: FFU) -> FFU:
+    return FFU(
+        a.spec,
+        [x - y for x, y in zip(a.limbs, b.limbs)],
+        a.value - b.value,
+        a.bound + b.bound,
+    )
+
+
+def ffu_scale(a: FFU, s: int) -> FFU:
+    return FFU(a.spec, [x * s for x in a.limbs], a.value * s, a.bound * abs(int(s)))
+
+
+def _limb_lcs(x) -> List[LC]:
+    return [_lc(v) for v in x.limbs]
+
+
+def ff_check_congruence(
+    c: Circuit,
+    spec: FFSpec,
+    prods: Sequence[Tuple[object, object, int]],  # (x, y, signed scale)
+    lin: Optional[FFU] = None,
+    lin_sign: int = -1,
+) -> None:
+    """Constrain  sum_t scale_t * x_t * y_t  + lin_sign * lin  ≡ 0 (mod p).
+
+    x_t, y_t are FF or FFU (limb LCs with bounds); products cost one mul
+    constraint per limb pair (k^2 per term). The quotient q is witnessed
+    SIGNED via a constant shift, and one signed carry chain closes the
+    identity — no result witness, no canonicalization."""
+    n, k = spec.n, spec.k
+
+    def bound_of(x) -> int:
+        return x.bound if isinstance(x, FFU) else (1 << spec.n) - 1
+
+    def value_of(x) -> int:
+        return x.value
+
+    # exact integer value of the whole expression
+    total = 0
+    for x, y, s in prods:
+        total += int(s) * value_of(x) * value_of(y)
+    if lin is not None:
+        total += lin_sign * lin.value
+    assert total % spec.p == 0, "ff_check_congruence: witness not congruent"
+    q = total // spec.p
+
+    # columns of the products
+    ncols = 2 * k  # k+2 q-limbs x k p-limbs reach at most col 2k-1; pad
+    cols: List[LC] = [LC.const(0) for _ in range(ncols)]
+    col_bound = [0] * ncols
+    for x, y, s in prods:
+        xl, yl = _limb_lcs(x), _limb_lcs(y)
+        bx, by = bound_of(x), bound_of(y)
+        s = int(s)
+        for j in range(k):
+            for l in range(k):
+                pjl = c.mul(xl[j], yl[l])
+                cols[j + l] = cols[j + l] + _lc(pjl) * (s % P)
+                col_bound[j + l] += abs(s) * bx * by
+    if lin is not None:
+        for j in range(k):
+            cols[j] = cols[j] + lin.limbs[j] * (lin_sign % P)
+            col_bound[j] += lin.bound
+
+    # subtract conv(q, p): q = q_shifted - Q0, q_shifted in [0, 2*Q0).
+    # Q0 must be a CIRCUIT constant (cannot depend on the witness q), so it
+    # is sized from the static column bounds: |q| <= sum_cols bound / p + 1.
+    p_limbs = [(spec.p >> (n * i)) & ((1 << n) - 1) for i in range(k)]
+    expr_bound = sum(b << (n * i) for i, b in enumerate(col_bound))
+    qmax = expr_bound // spec.p + 1
+    assert abs(q) <= qmax
+    q0 = 1 << qmax.bit_length()
+    qs = q + q0  # non-negative
+    qs_bits = max((2 * q0 - 1).bit_length(), 1)
+    nqs = (qs_bits + n - 1) // n  # static limb count
+    qs_limbs: List[Signal] = []
+    v = qs
+    for j in range(nqs):
+        limb = c.var(v & ((1 << n) - 1))
+        # top limb only holds the remaining bits — check just those
+        num2bits(c, limb, min(n, qs_bits - n * j))
+        qs_limbs.append(limb)
+        v >>= n
+    assert v == 0
+    q0_limbs = [(q0 >> (n * i)) & ((1 << n) - 1) for i in range(nqs)]
+    while len(cols) < nqs + k:
+        cols.append(LC.const(0))
+        col_bound.append(0)
+    for j in range(nqs):
+        for l in range(k):
+            # -(qs_j - Q0_j) * p_l  (linear: p_l constant)
+            cols[j + l] = cols[j + l] - _lc(qs_limbs[j]) * p_limbs[l] + LC.const(
+                q0_limbs[j] * p_limbs[l] % P
+            )
+            col_bound[j + l] += (1 << n) * p_limbs[l] + q0_limbs[j] * p_limbs[l]
+
+    # signed carry chain sized by the true column bounds: |carry| <=
+    # (max_col + |prev_carry|) / 2^n, whose fixpoint is < max_col/2^n + 1
+    max_bound = max(col_bound) if col_bound else 1
+    cb = max(max_bound.bit_length() - n + 1, 1)
+    offset = 1 << cb
+    # concrete signed column values for the carry witnesses
+    vals = [0] * len(cols)
+    for x, y, s in prods:
+        xl = _signed_limb_vals(c, x, spec)
+        yl = _signed_limb_vals(c, y, spec)
+        for j in range(k):
+            for l in range(k):
+                vals[j + l] += int(s) * xl[j] * yl[l]
+    if lin is not None:
+        ll = _signed_limb_vals(c, lin, spec)
+        for j in range(k):
+            vals[j] += lin_sign * ll[j]
+    for j in range(nqs):
+        qv = (qs >> (n * j)) & ((1 << n) - 1)
+        for l in range(k):
+            vals[j + l] -= (qv - q0_limbs[j]) * p_limbs[l]
+
+    carry_val = 0
+    carry_lc: LC = LC.const(0)
+    for i in range(len(cols)):
+        total_val = vals[i] + carry_val
+        if i == len(cols) - 1:
+            assert total_val == 0, "congruence carry chain: nonzero final"
+            c.assert_equal(cols[i] + carry_lc, 0)
+            return
+        assert total_val % (1 << n) == 0, "congruence carry: not divisible"
+        new_carry = total_val >> n
+        assert -offset <= new_carry < offset, "congruence carry out of range"
+        carry_sig = c.var((new_carry + offset) % P)
+        num2bits(c, carry_sig, cb + 1)
+        carry_lc_new = carry_sig - offset
+        c.assert_equal(cols[i] + carry_lc, carry_lc_new * (1 << n))
+        carry_lc = carry_lc_new
+        carry_val = new_carry
+
+
+def _signed_limb_vals(c: Circuit, x, spec: FFSpec) -> List[int]:
+    """Exact signed per-limb values of an FF/FFU (center-lift LC evals)."""
+    out = []
+    half = (P - 1) // 2
+    for lc_ in (x.limbs if isinstance(x, FFU) else [_lc(v) for v in x.limbs]):
+        v = c.eval_lc(lc_)
+        out.append(v - P if v > half else v)
+    return out
+
+
+def ff_witness_checked(
+    c: Circuit, spec: FFSpec, value: int, keep_bits: bool = False
+) -> FF:
+    """Alias of ff_witness (range-checked limbs, optionally keeping bits) —
+    named for use in check-style gadgets where the value is NOT canonical-
+    checked (< 2^(nk) only); all downstream uses are mod-p congruences."""
+    return ff_witness(c, spec, value % (1 << (spec.n * spec.k)), keep_bits=keep_bits)
+
+
 def _init_specs():
     global SECP_FQ, SECP_FR, BN254_FQ_FF, ED25519_FQ_FF
     from ...fields import bn254 as _bn, curve25519 as _c25519, secp256k1 as _secp

@@ -1,0 +1,441 @@
+"""Randomized batch ECDSA* verification — the reference's layer-1 scaling
+trick (circuits/layer_one.circom:40-49 dispatching BatchECDSAVerifyNoPubkey-
+Check from puma314/batch-ecdsa), rebuilt from the math with check-style
+foreign-field gadgets:
+
+  * point formulas cost ONE congruence check per equation (lambda-witness
+    chord/tangent equations via bigint.ff_check_congruence) instead of the
+    canonicalizing ff_mul/ff_div chain (~4.3k constraints per add vs ~7k,
+    ~3.3k per double vs ~7k);
+  * ONE shared doubling chain for the whole batch: the verification
+    equation  A*G + sum_i b_i*P_i - sum_i t^i*R_i == 0  (with A = sum t^i
+    u1_i, b_i = t^i u2_i mod n and t a Fiat-Shamir challenge Poseidon-
+    derived from all signature registers) is evaluated by one interleaved
+    windowed ladder: 64 window steps x (4 shared doubles + one table-mux
+    add per term). Incremental cost per signature is two 16-entry tables
+    + 128 window adds instead of a full per-signature double chain.
+
+Soundness: t is committed to every input register before use (in-circuit
+Fiat-Shamir, 128-bit challenge), so a batch with any invalid signature
+verifies with probability <= ~b * 2^-128 over t (standard randomized batch
+verification). Exceptional chord cases are excluded by inverse witnesses
+(dx != 0 checks); accumulator offsets D/D2_t (nothing-up-my-sleeve hashed-
+to-curve constants) keep honest traces away from exceptional cases.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from ..r1cs import LC, AnyLC, Circuit, Signal, _lc
+from . import bigint as B
+from .bigint import FF, FFU, FFSpec, ffu, ffu_add, ffu_const, ffu_scale, ffu_sub
+from .ec import (
+    ECPoint,
+    ECSpec,
+    SECP256K1_EC,
+    _ec_add_host,
+    _ec_mul_host,
+    _sswu_ish_aux_point,
+    ff_bits,
+)
+
+WINDOW = 4  # ladder window bits
+CHALLENGE_BITS = 128  # Fiat-Shamir challenge size
+
+
+# ---------------------------------------------------------------------------
+# Check-style point operations (lambda witnessing)
+# ---------------------------------------------------------------------------
+
+
+def ec_add_checked(c: Circuit, spec: ECSpec, p1: ECPoint, p2: ECPoint) -> ECPoint:
+    """Chord addition via witnessed lambda/x3/y3 and three congruence
+    checks (+ one dx != 0 inverse check). ~4.3k constraints at 64x4."""
+    f = spec.field
+    p = f.p
+    x1v, y1v = p1.x.value % p, p1.y.value % p
+    x2v, y2v = p2.x.value % p, p2.y.value % p
+    assert x1v != x2v, "ec_add_checked: exceptional case (equal x)"
+    lam_v = (y2v - y1v) * pow(x2v - x1v, -1, p) % p
+    x3v = (lam_v * lam_v - x1v - x2v) % p
+    y3v = (lam_v * (x1v - x3v) - y1v) % p
+
+    lam = B.ff_witness(c, f, lam_v)
+    x3 = B.ff_witness(c, f, x3v)
+    y3 = B.ff_witness(c, f, y3v)
+    w = B.ff_witness(c, f, pow(x2v - x1v, -1, p))
+
+    dx = ffu_sub(ffu(p2.x), ffu(p1.x))
+    dy = ffu_sub(ffu(p2.y), ffu(p1.y))
+    # w * dx == 1  (proves dx != 0 mod p)
+    B.ff_check_congruence(c, f, [(w, dx, 1)], ffu_const(f, 1), lin_sign=-1)
+    # lam * dx == dy
+    B.ff_check_congruence(c, f, [(lam, dx, 1)], dy, lin_sign=-1)
+    # lam^2 == x1 + x2 + x3
+    rhs = ffu_add(ffu_add(ffu(p1.x), ffu(p2.x)), ffu(x3))
+    B.ff_check_congruence(c, f, [(lam, lam, 1)], rhs, lin_sign=-1)
+    # lam * (x1 - x3) == y1 + y3
+    dx13 = ffu_sub(ffu(p1.x), ffu(x3))
+    B.ff_check_congruence(
+        c, f, [(lam, dx13, 1)], ffu_add(ffu(p1.y), ffu(y3)), lin_sign=-1
+    )
+    return ECPoint(x3, y3)
+
+
+def ec_double_checked(c: Circuit, spec: ECSpec, p1: ECPoint) -> ECPoint:
+    """Tangent doubling via witnessed lambda: 2y*lam == 3x^2 (+a), then the
+    same x3/y3 checks. ~3.3k constraints at 64x4. No 2y != 0 check needed
+    on a prime-odd-order curve (see ec.ec_double)."""
+    f = spec.field
+    p = f.p
+    xv, yv = p1.x.value % p, p1.y.value % p
+    lam_v = (3 * xv * xv + spec.a) * pow(2 * yv, -1, p) % p
+    x3v = (lam_v * lam_v - 2 * xv) % p
+    y3v = (lam_v * (xv - x3v) - yv) % p
+
+    lam = B.ff_witness(c, f, lam_v)
+    x3 = B.ff_witness(c, f, x3v)
+    y3 = B.ff_witness(c, f, y3v)
+
+    two_y = ffu_scale(ffu(p1.y), 2)
+    lin = ffu_const(f, spec.a) if spec.a else None
+    prods = [(lam, two_y, 1), (p1.x, p1.x, -3)]
+    if lin is not None:
+        B.ff_check_congruence(c, f, prods, lin, lin_sign=-1)
+    else:
+        B.ff_check_congruence(c, f, prods, None)
+    rhs = ffu_add(ffu_scale(ffu(p1.x), 2), ffu(x3))
+    B.ff_check_congruence(c, f, [(lam, lam, 1)], rhs, lin_sign=-1)
+    dx13 = ffu_sub(ffu(p1.x), ffu(x3))
+    B.ff_check_congruence(
+        c, f, [(lam, dx13, 1)], ffu_add(ffu(p1.y), ffu(y3)), lin_sign=-1
+    )
+    return ECPoint(x3, y3)
+
+
+def ec_on_curve_checked(c: Circuit, spec: ECSpec, pt: ECPoint) -> None:
+    """y^2 == x^3 + a x + b via one squared witness + two checks."""
+    f = spec.field
+    p = f.p
+    xv = pt.x.value % p
+    xx = B.ff_witness(c, f, xv * xv % p)
+    B.ff_check_congruence(c, f, [(pt.x, pt.x, 1)], ffu(xx), lin_sign=-1)
+    # xx * x + a*x + b - y^2 == 0
+    lin = ffu_const(f, spec.b)
+    if spec.a:
+        lin = ffu_add(lin, ffu_scale(ffu(pt.x), spec.a))
+    B.ff_check_congruence(
+        c, f, [(xx, pt.x, 1), (pt.y, pt.y, -1)], lin, lin_sign=1
+    )
+
+
+def ec_assert_equal(c: Circuit, spec: ECSpec, p1: ECPoint, p2: ECPoint) -> None:
+    """x1 == x2 and y1 == y2 mod p via two congruence checks (handles
+    non-canonical limb representations)."""
+    f = spec.field
+    one = B.ff_const(c, f, 1)
+    B.ff_check_congruence(
+        c, f, [(one, ffu_sub(ffu(p1.x), ffu(p2.x)), 1)], None
+    )
+    B.ff_check_congruence(
+        c, f, [(one, ffu_sub(ffu(p1.y), ffu(p2.y)), 1)], None
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window mux
+# ---------------------------------------------------------------------------
+
+
+def onehot4(c: Circuit, bits: Sequence[AnyLC]) -> List[LC]:
+    """One-hot of a 4-bit value from its (boolean-constrained) bits:
+    18 mul constraints, sums to 1 by construction."""
+    b0, b1, b2, b3 = (_lc(b) for b in bits)
+    m01 = _lc(c.mul(b0, b1))
+    pair_lo = [1 - b0 - b1 + m01, b0 - m01, b1 - m01, m01]
+    m23 = _lc(c.mul(b2, b3))
+    pair_hi = [1 - b2 - b3 + m23, b2 - m23, b3 - m23, m23]
+    out = []
+    for j in range(16):
+        out.append(_lc(c.mul(pair_lo[j & 3], pair_hi[j >> 2])))
+    return out
+
+
+def mux_points(
+    c: Circuit, spec: ECSpec, onehot: Sequence[LC], table: Sequence[ECPoint],
+    sel_value: int,
+) -> ECPoint:
+    """Select table[sel_value] with one-hot coefficients. Constant-table
+    entries cost nothing (linear); witness tables cost one mul per
+    (entry, limb)."""
+    f = spec.field
+    k = f.k
+
+    def mux_coord(get):
+        limbs: List[LC] = []
+        for li in range(k):
+            acc = LC.const(0)
+            for j, e in enumerate(onehot):
+                limb = get(table[j])[li]
+                if isinstance(limb, LC) and len(limb.terms) == 1 and 0 in limb.terms:
+                    acc = acc + e * limb.terms[0]  # constant entry: linear
+                elif isinstance(limb, LC) and not limb.terms:
+                    pass  # zero limb
+                else:
+                    acc = acc + _lc(c.mul(e, limb))
+            limbs.append(acc)
+        return limbs
+
+    xv, yv = table[sel_value].x.value, table[sel_value].y.value
+    x = FF(f, mux_coord(lambda t: t.x.limbs), xv)
+    y = FF(f, mux_coord(lambda t: t.y.limbs), yv)
+    return ECPoint(x, y)
+
+
+# ---------------------------------------------------------------------------
+# Interleaved shared-doubling multi-scalar ladder
+# ---------------------------------------------------------------------------
+
+
+class LadderTerm:
+    """One MSM term: 256 scalar bits (little-endian, boolean-constrained)
+    and a 16-entry table T[j] = j*Base + D2_t (T[0] = D2_t)."""
+
+    def __init__(self, bits: Sequence[AnyLC], bit_vals: Sequence[int],
+                 table: List[ECPoint], d2: Tuple[int, int]):
+        self.bits = list(bits)
+        self.bit_vals = list(bit_vals)
+        self.table = table
+        self.d2 = d2
+
+
+def make_term_const_base(
+    c: Circuit, spec: ECSpec, bits, bit_vals, base: Tuple[int, int], tag: str
+) -> LadderTerm:
+    """Term with a CONSTANT base (e.g. G): the whole table is constant."""
+    from .ec import ec_const
+
+    d2 = _sswu_ish_aux_point(spec, f"batch|{tag}|D2")
+    table = []
+    acc = d2
+    table.append(ec_const(c, spec, d2))
+    for _ in range(15):
+        acc = _ec_add_host(spec, acc, base)
+        table.append(ec_const(c, spec, acc))
+    return LadderTerm(bits, bit_vals, table, d2)
+
+
+def make_term_witness_base(
+    c: Circuit, spec: ECSpec, bits, bit_vals, base: ECPoint, tag: str
+) -> LadderTerm:
+    """Term with a witness base (pubkeys, R points): 15 in-circuit adds."""
+    from .ec import ec_const
+
+    d2 = _sswu_ish_aux_point(spec, f"batch|{tag}|D2")
+    table = [ec_const(c, spec, d2)]
+    for _ in range(15):
+        table.append(ec_add_checked(c, spec, table[-1], base))
+    return LadderTerm(bits, bit_vals, table, d2)
+
+
+def msm_ladder(
+    c: Circuit,
+    spec: ECSpec,
+    terms: Sequence[LadderTerm],
+    n_bits: int = 256,
+    tag: str = "ladder",
+) -> Tuple[ECPoint, Tuple[int, int]]:
+    """Compute sum_t scalar_t * Base_t + OFFSET with one shared doubling
+    chain: per 4-bit window (MSB first) 4 doubles then one mux-add per
+    term. Returns (acc, offset) where offset = 2^n_bits * D +
+    (sum_w 2^(4w)) * sum_t D2_t is the data-independent constant the
+    caller must subtract (or fold into its equality target)."""
+    assert n_bits % WINDOW == 0
+    nwin = n_bits // WINDOW
+    from .ec import ec_const
+
+    d = _sswu_ish_aux_point(spec, f"batch|{tag}|D")
+    acc = ec_const(c, spec, d)
+    for wstep in range(nwin - 1, -1, -1):
+        for _ in range(WINDOW):
+            acc = ec_double_checked(c, spec, acc)
+        for t in terms:
+            bits = t.bits[WINDOW * wstep : WINDOW * (wstep + 1)]
+            bvals = t.bit_vals[WINDOW * wstep : WINDOW * (wstep + 1)]
+            sel = sum(v << i for i, v in enumerate(bvals))
+            oh = onehot4(c, bits)
+            entry = mux_points(c, spec, oh, t.table, sel)
+            acc = ec_add_checked(c, spec, acc, entry)
+
+    # offset = 2^n_bits * D + (sum_w 2^(4w)) * sum_t D2_t
+    wsum = sum(1 << (WINDOW * w) for w in range(nwin))
+    off = _ec_mul_host(spec, d, 1 << n_bits)
+    for t in terms:
+        off = _ec_add_host(spec, off, _ec_mul_host(spec, t.d2, wsum))
+    return acc, off
+
+
+# ---------------------------------------------------------------------------
+# Batch ECDSA* verification
+# ---------------------------------------------------------------------------
+
+
+def _bits_from_ff(c: Circuit, x: FF) -> Tuple[List[Signal], List[int]]:
+    bits = ff_bits(c, x)
+    vals = [(x.value >> i) & 1 for i in range(len(bits))]
+    return bits, vals
+
+
+def batch_ecdsa_star_verify(
+    c: Circuit,
+    sigs: Sequence[dict],
+    tag: str = "batch",
+) -> None:
+    """Verify b ECDSA* signatures with one randomized batch equation.
+
+    Each sig dict: {"r": FF(fr), "rprime": FF(fq), "s": FF(fr),
+    "msghash": FF(fr), "pubkey": ECPoint}. For b == 1 falls back to the
+    direct equation (no challenge needed):  u1 G + u2 P == R.
+
+    Batch equation (b >= 2):
+        (sum_i t^i u1_i) G + sum_i (t^i u2_i) P_i + sum_i t^i (-R_i) == 0
+    with u1 = m/s, u2 = r/s mod n and t a 128-bit in-circuit Poseidon
+    challenge over every input register."""
+    from .poseidon_gadget import poseidon_sponge
+    from .core import num2bits
+
+    spec = SECP256K1_EC
+    f = spec.field
+    fr = B.SECP_FR
+    b = len(sigs)
+    assert b >= 1
+
+    # on-curve checks for every pubkey and every R = (r, rprime)
+    r_points: List[ECPoint] = []
+    for sig in sigs:
+        ec_on_curve_checked(c, spec, sig["pubkey"])
+        r_ff_q = FF(f, sig["r"].limbs, sig["r"].value)  # r < n < p: same limbs
+        r_pt = ECPoint(r_ff_q, sig["rprime"])
+        ec_on_curve_checked(c, spec, r_pt)
+        r_points.append(r_pt)
+
+    # u1_i = m/s, u2_i = r/s (mod n) with bit decompositions
+    u1s: List[FF] = []
+    u2s: List[FF] = []
+    for i, sig in enumerate(sigs):
+        s, m, r = sig["s"], sig["msghash"], sig["r"]
+        sinv_val = pow(s.value, -1, fr.p)
+        sinv = B.ff_witness(c, fr, sinv_val)
+        B.ff_check_congruence(c, fr, [(s, sinv, 1)], ffu_const(fr, 1), lin_sign=-1)
+        u1 = B.ff_witness(c, fr, m.value * sinv_val % fr.p, keep_bits=True)
+        u2 = B.ff_witness(c, fr, r.value * sinv_val % fr.p, keep_bits=True)
+        B.ff_check_congruence(c, fr, [(m, sinv, 1)], ffu(u1), lin_sign=-1)
+        B.ff_check_congruence(c, fr, [(r, sinv, 1)], ffu(u2), lin_sign=-1)
+        u1s.append(u1)
+        u2s.append(u2)
+
+    if b == 1:
+        bits1, v1 = _bits_from_ff(c, u1s[0])
+        bits2, v2 = _bits_from_ff(c, u2s[0])
+        terms = [
+            make_term_const_base(c, spec, bits1, v1, spec.gen, f"{tag}|G"),
+            make_term_witness_base(c, spec, bits2, v2, sigs[0]["pubkey"], f"{tag}|P0"),
+        ]
+        acc, off = msm_ladder(c, spec, terms, tag=tag)
+        # acc == R + off
+        target = _ec_add_host(spec, (r_points[0].x.value, r_points[0].y.value), off)
+        rhs = ec_add_checked(
+            c, spec, r_points[0],
+            ECPoint(B.ff_const(c, f, off[0]), B.ff_const(c, f, off[1])),
+        )
+        assert (rhs.x.value % f.p, rhs.y.value % f.p) == target
+        ec_assert_equal(c, spec, acc, rhs)
+        return
+
+    # --- Fiat-Shamir challenge t over every input register ---------------
+    absorb: List[AnyLC] = []
+    for sig in sigs:
+        for ffel in (sig["r"], sig["rprime"], sig["s"], sig["msghash"]):
+            absorb.extend(ffel.limbs)
+        absorb.extend(sig["pubkey"].x.limbs)
+        absorb.extend(sig["pubkey"].y.limbs)
+    h = poseidon_sponge(c, absorb)
+    h_val = c.eval_lc(h)
+    h_bits = num2bits(c, h, 254)
+    t_val = h_val & ((1 << CHALLENGE_BITS) - 1)
+    # t as an Fr element from the low 128 hash bits (limbs are bit LCs)
+    t_limbs: List[LC] = []
+    for li in range(fr.k):
+        acc_lc = LC.const(0)
+        for bi in range(fr.n):
+            idx = li * fr.n + bi
+            if idx < CHALLENGE_BITS:
+                acc_lc = acc_lc + _lc(h_bits[idx]) * (1 << bi)
+        t_limbs.append(acc_lc)
+    t = FF(fr, t_limbs, t_val)
+
+    # t^i, a_i = t^i * u1_i, b_i = t^i * u2_i (mod n)
+    t_pows: List[FF] = [None] * b  # t_pows[i] = t^i, i >= 1
+    t_pows[1] = t
+    for i in range(2, b):
+        v = t_pows[i - 1].value * t.value % fr.p
+        ti = B.ff_witness(c, fr, v)
+        B.ff_check_congruence(
+            c, fr, [(t_pows[i - 1], t, 1)], ffu(ti), lin_sign=-1
+        )
+        t_pows[i] = ti
+
+    a_terms: List[FF] = [u1s[0]]
+    b_terms: List[FF] = [u2s[0]]
+    for i in range(1, b):
+        av = t_pows[i].value * u1s[i].value % fr.p
+        bv = t_pows[i].value * u2s[i].value % fr.p
+        ai = B.ff_witness(c, fr, av)
+        bi = B.ff_witness(c, fr, bv, keep_bits=True)
+        B.ff_check_congruence(c, fr, [(t_pows[i], u1s[i], 1)], ffu(ai), lin_sign=-1)
+        B.ff_check_congruence(c, fr, [(t_pows[i], u2s[i], 1)], ffu(bi), lin_sign=-1)
+        a_terms.append(ai)
+        b_terms.append(bi)
+
+    # A = sum a_i mod n. Any 256-bit representative of A mod n is sound:
+    # the ladder scalar acts on G, whose order IS n, so A·G only depends
+    # on A mod n — one congruence check binds the witness.
+    a_sum_val = sum(x.value for x in a_terms)
+    A = B.ff_witness(c, fr, a_sum_val % fr.p, keep_bits=True)
+    acc_u = ffu(a_terms[0])
+    for x in a_terms[1:]:
+        acc_u = ffu_add(acc_u, ffu(x))
+    acc_u = ffu_sub(acc_u, ffu(A))
+    one_fr = B.ff_const(c, fr, 1)
+    B.ff_check_congruence(c, fr, [(one_fr, acc_u, 1)], None)
+
+    # ladder: A*G + sum_i b_i * P_i + sum_{i>=1} t^i * (-R_i)  ==  R_0
+    # (R_0 has coefficient t^0 = 1, so it moves to the equality target
+    # instead of paying a full ladder term).
+    bitsA, vA = _bits_from_ff(c, A)
+    terms = [make_term_const_base(c, spec, bitsA, vA, spec.gen, f"{tag}|G")]
+    for i in range(b):
+        bits_b, vb = _bits_from_ff(c, b_terms[i])
+        terms.append(
+            make_term_witness_base(c, spec, bits_b, vb, sigs[i]["pubkey"], f"{tag}|P{i}")
+        )
+    one_q = B.ff_const(c, f, 1)
+    for i in range(1, b):
+        neg_r = ECPoint(
+            r_points[i].x,
+            B.ff_witness(c, f, (f.p - r_points[i].y.value % f.p) % f.p),
+        )
+        # constrain y_neg + y == 0 mod p
+        ysum = ffu_add(ffu(neg_r.y), ffu(r_points[i].y))
+        B.ff_check_congruence(c, f, [(one_q, ysum, 1)], None)
+        bits_t, vt = _bits_from_ff(c, t_pows[i])
+        terms.append(
+            make_term_witness_base(c, spec, bits_t, vt, neg_r, f"{tag}|R{i}")
+        )
+
+    acc, off = msm_ladder(c, spec, terms, tag=tag)
+    # acc == R_0 + off
+    off_pt = ECPoint(B.ff_const(c, f, off[0]), B.ff_const(c, f, off[1]))
+    rhs = ec_add_checked(c, spec, r_points[0], off_pt)
+    ec_assert_equal(c, spec, acc, rhs)

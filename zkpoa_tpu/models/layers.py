@@ -58,14 +58,18 @@ def layer_one_circuit(sigs: Sequence[LayerOneInput], check: bool = False) -> Cir
     Statement parity with circuits/layer_one.circom: same input registers,
     same single public output `pubkey_x_coord_hash` = PoseidonSponge over
     num_sigs*4 x-coord limbs (circuits/layer_one.circom:54-63). The
-    verification core is ECDSA* for every batch size (the reference's
-    single-sig path drops the rprime pin; ours keeps it — strictly
-    stronger, same valid-witness set for honest signatures)."""
+    verification core is randomized-batch ECDSA* (the reference's
+    BatchECDSAVerifyNoPubkeyCheck dispatch, circuits/layer_one.circom:40-49)
+    with a direct single-equation path at num_sigs == 1 — one shared
+    doubling ladder for the whole batch (gadgets/ecdsa_batch.py)."""
+    from .gadgets.ecdsa_batch import batch_ecdsa_star_verify
+
     c = Circuit(check=check)
     out = c.public_output()
 
     fr, fq = B.SECP_FR, B.SECP_FQ
     sponge_inputs = []
+    sig_ffs = []
     for i, sig in enumerate(sigs):
         r_sigs = [c.var(v) for v in sig.r]
         rp_sigs = [c.var(v) for v in sig.rprime]
@@ -74,17 +78,21 @@ def layer_one_circuit(sigs: Sequence[LayerOneInput], check: bool = False) -> Cir
         px_sigs = [c.var(v) for v in sig.pubkey[0]]
         py_sigs = [c.var(v) for v in sig.pubkey[1]]
 
-        f_r = B.ff_input(c, fr, r_sigs, sig.r)
-        f_rp = B.ff_input(c, fq, rp_sigs, sig.rprime)
-        f_s = B.ff_input(c, fr, s_sigs, sig.s)
-        f_m = B.ff_input(c, fr, m_sigs, sig.msghash)
-        pub = E.ECPoint(
-            B.ff_input(c, fq, px_sigs, sig.pubkey[0]),
-            B.ff_input(c, fq, py_sigs, sig.pubkey[1]),
+        sig_ffs.append(
+            {
+                "r": B.ff_input(c, fr, r_sigs, sig.r),
+                "rprime": B.ff_input(c, fq, rp_sigs, sig.rprime),
+                "s": B.ff_input(c, fr, s_sigs, sig.s),
+                "msghash": B.ff_input(c, fr, m_sigs, sig.msghash),
+                "pubkey": E.ECPoint(
+                    B.ff_input(c, fq, px_sigs, sig.pubkey[0]),
+                    B.ff_input(c, fq, py_sigs, sig.pubkey[1]),
+                ),
+            }
         )
-        E.ecdsa_star_verify(c, f_r, f_rp, f_s, f_m, pub, tag=f"sig{i}")
         sponge_inputs.extend(px_sigs)
 
+    batch_ecdsa_star_verify(c, sig_ffs)
     c.bind_output(out, poseidon_sponge(c, sponge_inputs))
     return c
 

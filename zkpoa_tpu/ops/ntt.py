@@ -97,12 +97,16 @@ def ntt(values_mont: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     )
 
 
-# The coset shift used by snarkjs/rapidsnark for the h-query path:
-# ffjavascript's F1Field picks the smallest quadratic non-residue mod R
-# (nqr = 5 for BN254 Fr) and sets shift = nqr^2 = 25; rapidsnark follows
-# (ref: scripts/g16_prove.sh:246-252 proves with either engine against the
-# same .zkey, so both must agree on this constant).
-SNARKJS_COSET_SHIFT = 25
+def snarkjs_coset_shift(log_n: int) -> int:
+    """The coset shift snarkjs/rapidsnark use for the h-query path of a
+    2^log_n domain: zkey section 9 is built from the ODD Lagrange points of
+    the 2n ptau domain (snarkjs zkey_new.js), i.e. the coset nodes are
+    w_{2n}^{2i+1} = w_{2n} * w_n^i — the shift is the primitive 2n-th root
+    of unity (groth16_prove.js shifts by Fr.w[power+1], rapidsnark by
+    fft->root(domainPower+1, 1)). Note shift^n = -1, so Z on the coset is
+    the constant -2. (ffjavascript's Fr.shift = nqr^2 = 25 is only the
+    degenerate power == Fr.s fallback, never hit for real circuits.)"""
+    return domain_root(log_n + 1)
 
 
 @lru_cache(maxsize=None)
@@ -132,17 +136,20 @@ def coset_qap_evals(
     a_ev: jnp.ndarray,
     b_ev: jnp.ndarray,
     c_ev: jnp.ndarray,
-    shift: int = SNARKJS_COSET_SHIFT,
+    shift: int = None,
 ) -> jnp.ndarray:
     """(A·B − C) evaluated over the shifted coset g·D — the h-MSM operand
     for zkeys whose section-9 basis is snarkjs' coset-Lagrange convention.
 
     snarkjs/rapidsnark never form h(X)'s coefficients: they evaluate
-    P = A·B − C on the coset g·D (where Z is the nonzero constant g^n − 1)
-    and MSM those evaluations directly against section-9 points
-    H_i = L_i^{coset}(τ)·Z(τ)/((g^n−1)·δ)·G1. Inputs/outputs are Montgomery
-    limbs [n, K]; the constant-Z division lives in the H points, not here.
+    P = A·B − C on the coset g·D (g = w_{2n}, where Z is the nonzero
+    constant g^n − 1 = −2) and MSM those evaluations directly against
+    section-9 points H_i = L_i^{coset}(τ)·Z(τ)/((g^n−1)·δ)·G1. Inputs/
+    outputs are Montgomery limbs [n, K]; the constant-Z division lives in
+    the H points, not here.
     """
+    if shift is None:
+        shift = snarkjs_coset_shift(a_ev.shape[0].bit_length() - 1)
     a_c = ntt(a_ev, inverse=True)
     b_c = ntt(b_ev, inverse=True)
     c_c = ntt(c_ev, inverse=True)

@@ -181,10 +181,12 @@ def setup(
             t_pow = t_pow * tau % R
     elif h_basis == "coset":
         # snarkjs convention: H_i = L_i^{coset}(tau)·Z(tau)/((g^m−1)·delta)
-        # where the coset nodes are g·w^i and L_i^{coset}(X) = L_i(X/g).
-        from ..ops.ntt import SNARKJS_COSET_SHIFT, domain_root
+        # where the coset nodes are g·w^i with g = w_{2m} (the odd Lagrange
+        # points of the 2m ptau domain) and L_i^{coset}(X) = L_i(X/g);
+        # g^m = -1 so the Z constant is -2.
+        from ..ops.ntt import domain_root, snarkjs_coset_shift
 
-        g = SNARKJS_COSET_SHIFT
+        g = snarkjs_coset_shift(m.bit_length() - 1)
         w = domain_root(m.bit_length() - 1)
         tp = tau * pow(g, -1, R) % R  # tau/g: evaluate standard L_i here
         zp = (pow(tp, m, R) - 1) % R

@@ -23,12 +23,16 @@ ProvingKey's `h_basis` (prover/setup.py):
   * 'monomial' (our native default): (tau^i · Z(tau)/delta)·G1, which the
     NTT quotient path consumes directly (zkpoa_tpu/prover/prove.py);
   * 'coset' (snarkjs/rapidsnark convention): coset-Lagrange points
-    L_i^{coset}(tau)·Z(tau)/((g^n−1)·delta)·G1 with g = ffjavascript's
-    shift = nqr² = 25 — the prover then MSMs coset evaluations of A·B−C
-    against them exactly as rapidsnark does (ops/ntt.py coset_qap_evals).
+    L_i^{coset}(tau)·Z(tau)/((g^n−1)·delta)·G1 with g = w_{2n}, the
+    primitive 2n-th root of unity (snarkjs builds section 9 from the odd
+    Lagrange points of the 2n ptau domain; g^n = -1 so the Z constant is
+    -2) — the prover then MSMs coset evaluations of A·B−C against them
+    exactly as rapidsnark does (ops/ntt.py coset_qap_evals).
 The container itself carries no basis marker (neither does snarkjs'), so
-read_zkey takes the convention as a parameter: pass h_basis='coset' when
-ingesting a foreign snarkjs-generated zkey.
+read_zkey takes the convention as a parameter — pass h_basis='coset' when
+ingesting a foreign snarkjs-generated zkey — or h_basis='auto' to detect
+it: natively-written monomial files end section 9 with an infinity pad
+point, coset files carry exactly domainSize finite points.
 """
 
 from __future__ import annotations
@@ -401,10 +405,20 @@ def read_zkey(path: str, h_basis: str = "monomial"):
     b2_query = g2_list(_one(sections, 7))
     c_query = g1_list(_one(sections, 8))
     h_query = g1_list(_one(sections, 9))
+    if h_basis == "auto":
+        # natively written monomial zkeys pad section 9 to domainSize with
+        # an infinity tail point; snarkjs coset zkeys have all points finite
+        h_basis = "monomial" if (h_query and h_query[-1] is None) else "coset"
     if h_basis == "monomial":
         # drop the infinity padding we write at the tail of section 9
         while h_query and h_query[-1] is None:
             h_query.pop()
+    elif h_basis == "coset":
+        if any(p is None for p in h_query):
+            raise ValueError(
+                "h_basis='coset' but section 9 contains infinity points — "
+                "this looks like a natively written monomial zkey"
+            )
 
     vk = VerifyingKey(alpha1, beta2, gamma2, delta2, ic, n_public)
     pk = ProvingKey(
