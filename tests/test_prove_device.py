@@ -1,0 +1,47 @@
+"""Device-resident Groth16 pipeline (setup_device + _prove_device):
+multi-million-point keys stay in HBM (no per-point host decode). Proofs
+must be byte-identical to the host-point pipeline under the same seeds —
+this is the path the recursive layer-2/3 circuits (~7M constraints) use.
+Reference analog: rapidsnark's in-memory zkey tables (scripts/g16_prove.sh)."""
+
+import pytest
+
+import tests.conftest as cft  # noqa: F401
+from zkpoa_tpu.models.gadgets.poseidon_gadget import poseidon
+from zkpoa_tpu.models.r1cs import Circuit
+from zkpoa_tpu.prover import groth16
+from zkpoa_tpu.prover.prove import prove
+from zkpoa_tpu.prover.setup import DeviceG1Points, setup, setup_device
+
+
+def _toy_circuit():
+    c = Circuit()
+    out = c.public_output()
+    x = c.var(7)
+    y = c.var(11)
+    c.bind_output(out, poseidon(c, [x, y]))
+    return c.compile()
+
+
+@pytest.mark.parametrize("basis", ["monomial", "coset"])
+def test_device_pipeline_matches_host(basis):
+    r1cs, wit = _toy_circuit()
+    pk = setup_device(r1cs, seed="devtest", h_basis=basis)
+    assert isinstance(pk.a_query, DeviceG1Points)
+    proof = prove(pk, r1cs, wit, seed="p1")
+    vk = groth16.VerifyingKey.from_json(pk.vk_json)
+    publics = [wit[w] for w in range(1, r1cs.n_public + 1)]
+    assert groth16.verify(vk, proof, publics)
+
+    pk_h = setup(r1cs, seed="devtest", h_basis=basis)
+    proof_h = prove(pk_h, r1cs, wit, seed="p1")
+    assert proof.pi_a == proof_h.pi_a
+    assert proof.pi_b == proof_h.pi_b
+    assert proof.pi_c == proof_h.pi_c
+
+
+def test_device_points_to_host_roundtrip():
+    r1cs, wit = _toy_circuit()
+    pk = setup_device(r1cs, seed="devtest")
+    pk_h = setup(r1cs, seed="devtest")
+    assert pk.a_query.to_host() == pk_h.a_query

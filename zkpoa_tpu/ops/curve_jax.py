@@ -285,6 +285,22 @@ def scalar_mul_batch(ops, p: Jac, scalars: jnp.ndarray, n_bits: int) -> Jac:
     return jax.lax.fori_loop(0, n_bits, body, acc)
 
 
+@partial(jax.jit, static_argnums=0)
+def jac_to_affine_mont(spec: FieldSpec, p: Jac):
+    """Batched Jacobian -> affine on device: one Fermat batch inverse of z
+    (ops.limbs.mont_inv), then x/z^2, y/z^3. Returns (xs, ys, valid)
+    Montgomery limb arrays + a bool mask (False = infinity). This is what
+    lets multi-million-point zkey tables stay device-resident instead of
+    round-tripping through per-point host decoding."""
+    x, y, z = p
+    valid = jnp.logical_not(L.is_zero(z))
+    zinv = L.mont_inv(spec, z)
+    zinv2 = L.mont_mul(spec, zinv, zinv)
+    xs = L.mont_mul(spec, x, zinv2)
+    ys = L.mont_mul(spec, y, L.mont_mul(spec, zinv2, zinv))
+    return xs, ys, valid
+
+
 def _host_mul(curve_host_add, pt, k):
     acc = None
     while k:

@@ -70,6 +70,27 @@ def fp2_one_like(a: Fp2) -> Fp2:
     return (one, jnp.zeros_like(a[1]))
 
 
+def fp2_inv(a: Fp2) -> Fp2:
+    """Batched Fp2 inverse: 1/(c0 + c1 u) = (c0 - c1 u)/(c0^2 + c1^2)
+    (u^2 = -1), with one Fp Fermat batch inverse for the norm."""
+    s = BN254_FQ
+    norm = L.add_mod(s, L.mont_mul(s, a[0], a[0]), L.mont_mul(s, a[1], a[1]))
+    ninv = L.mont_inv(s, norm)
+    zero = jnp.zeros_like(a[1])
+    return (L.mont_mul(s, a[0], ninv), L.mont_mul(s, L.sub_mod(s, zero, a[1]), ninv))
+
+
+def g2_jac_to_affine_mont(p):
+    """Batched G2 Jacobian -> affine (Fp2 coords): (xs, ys, valid)."""
+    x, y, z = p
+    valid = jnp.logical_not(fp2_is_zero(z))
+    zinv = fp2_inv(z)
+    zinv2 = fp2_mul(zinv, zinv)
+    xs = fp2_mul(x, zinv2)
+    ys = fp2_mul(y, fp2_mul(zinv2, zinv))
+    return xs, ys, valid
+
+
 def fp2_arith() -> Arith:
     return Arith(
         add=fp2_add,

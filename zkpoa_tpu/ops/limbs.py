@@ -246,6 +246,25 @@ def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return mont_mul(spec, a, a)
 
 
+@partial(jax.jit, static_argnums=0)
+def mont_inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Batched modular inverse by Fermat (a^(p-2)), ~2 muls per exponent
+    bit on the whole batch. a == 0 maps to 0 (callers mask separately)."""
+    e = spec.modulus - 2
+    nbits = e.bit_length()
+    bits = jnp.asarray(
+        [(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.uint32
+    )
+    one = jnp.broadcast_to(jnp.asarray(spec.one_mont_limbs), a.shape)
+
+    def body(i, acc):
+        acc = mont_mul(spec, acc, acc)
+        mul = mont_mul(spec, acc, a)
+        return jnp.where(bits[i][None] != 0, mul, acc)
+
+    return jax.lax.fori_loop(0, nbits, body, one)
+
+
 def mont_pow5(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     a2 = mont_mul(spec, a, a)
     a4 = mont_mul(spec, a2, a2)

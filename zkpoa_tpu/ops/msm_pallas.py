@@ -362,7 +362,8 @@ def _masked_roll_add(curve, p, shift, keep_mask):
     """p[j] += p[j + shift] where keep_mask[j] (else p[j] unchanged), along
     the bucket axis of [nw, nb] lanes. shift is a traced int32 scalar."""
     rolled = _tmap(lambda a: jnp.roll(a, -shift, axis=1), p)
-    inf = curve.infinity((p[0].shape[0], p[0].shape[1]))
+    leaf = jax.tree.leaves(p)[0]
+    inf = curve.infinity((leaf.shape[0], leaf.shape[1]))
     shifted = _tmap(
         lambda a, b: jnp.where(keep_mask[..., None], a, b), rolled, inf
     )
@@ -409,7 +410,8 @@ def _weighted_reduce(curve, buckets, plan: MsmPlan):
         def step(st, p):
             sh = jnp.int32(1) << st
             keep = bpos + sh < nb
-            return _masked_roll_add(curve, p, sh, jnp.broadcast_to(keep, (p[0].shape[0], nb)))
+            rows = jax.tree.leaves(p)[0].shape[0]
+            return _masked_roll_add(curve, p, sh, jnp.broadcast_to(keep, (rows, nb)))
 
         return jax.lax.fori_loop(0, c - 1, step, p)
 
@@ -436,6 +438,23 @@ def _weighted_reduce(curve, buckets, plan: MsmPlan):
 # ---------------------------------------------------------------------------
 
 
+def _stream_indices(plan: MsmPlan, scalars, point_valid):
+    """Shared stream planning: returns (idx [R*L] int32 point indices,
+    sign [R*L] bool, valid [R, L] bool)."""
+    n, lanes, rounds = plan.n, plan.lanes, plan.rounds
+    slots, signs = _digits_signed_jnp(scalars, plan)
+    order_y, order_x, b_start, b_end = _sort_and_starts(slots, signs, point_valid, plan)
+    r_idx = jnp.arange(rounds, dtype=jnp.int32)
+    pos = b_start[None, :, :] + r_idx[:, None, None]  # [R, nw, nb]
+    valid = pos < b_end[None, :, :]
+    pos_c = jnp.minimum(pos, n - 1)
+    idx_y = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_y, pos_c)
+    idx_flat = idx_y.reshape(-1)
+    sign = idx_flat >= n
+    idx = jnp.where(sign, idx_flat - n, idx_flat)
+    return idx, sign, valid.reshape(rounds, lanes)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _msm_fused(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
     """xs, ys: [N, K] Montgomery affine coords; scalars [N, K_s] plain
@@ -443,28 +462,19 @@ def _msm_fused(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
     (jacobian result leaves [K], exception flag count)."""
     spec = curve.field
     k = spec.n_limbs
-    n, nb, nw, lanes, rounds = plan.n, plan.nb, plan.nw, plan.lanes, plan.rounds
+    nb, nw, lanes, rounds = plan.nb, plan.nw, plan.lanes, plan.rounds
 
-    slots, signs = _digits_signed_jnp(scalars, plan)
-    order_y, order_x, b_start, b_end = _sort_and_starts(slots, signs, point_valid, plan)
-
+    idx, sign, valid = _stream_indices(plan, scalars, point_valid)
     # extended y table: [2N, K] with negated y in the top half (for -P)
     ys_neg = L.sub_mod(spec, jnp.zeros_like(ys), ys)
     ys_ext = jnp.concatenate([ys, ys_neg], axis=0)
-
-    # stream indices: pos[r, w, b] = b_start[w, b] + r
-    r_idx = jnp.arange(rounds, dtype=jnp.int32)
-    pos = b_start[None, :, :] + r_idx[:, None, None]  # [R, nw, nb]
-    valid = pos < b_end[None, :, :]
-    pos_c = jnp.minimum(pos, n - 1)
-    idx_x = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_x, pos_c)
-    idx_y = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_y, pos_c)
+    idx_y = idx + jnp.where(sign, jnp.int32(plan.n), jnp.int32(0))
     # row gathers (contiguous 64B rows — TPU-friendly), then limb-major
-    px = xs[idx_x.reshape(-1)].reshape(rounds, lanes, k)
-    py = ys_ext[idx_y.reshape(-1)].reshape(rounds, lanes, k)
+    px = xs[idx].reshape(rounds, lanes, k)
+    py = ys_ext[idx_y].reshape(rounds, lanes, k)
     px = jnp.transpose(px, (0, 2, 1))  # [R, K, L]
     py = jnp.transpose(py, (0, 2, 1))
-    vstream = valid.reshape(rounds, lanes).astype(jnp.uint32)
+    vstream = valid.astype(jnp.uint32)
 
     ox, oy, oz, exc = _accumulate(spec, px, py, vstream, plan)
 
@@ -474,6 +484,32 @@ def _msm_fused(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
 
     buckets = (unlm(ox), unlm(oy), unlm(oz))
     return _weighted_reduce(curve, buckets, plan), jnp.sum(exc)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _msm_fused_tree(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
+    """Pytree-coordinate variant (G2 over Fp2): same stream planning, a
+    lax.scan of unified batch-major mixed adds for accumulation (no Pallas
+    kernel — Fp2 tower ops compose the jnp limb substrate)."""
+    from .curve_jax import jac_add_affine
+
+    nb, nw, lanes, rounds = plan.nb, plan.nw, plan.lanes, plan.rounds
+    idx, sign, valid = _stream_indices(plan, scalars, point_valid)
+    idx2 = idx.reshape(rounds, lanes)
+    sign2 = sign.reshape(rounds, lanes)
+    ar = curve.arith()
+
+    def step(acc, xs_in):
+        ixr, sgr, vr = xs_in  # [L], [L], [L]
+        pxg = _tmap(lambda a: a[ixr], xs)
+        pyg = _tmap(lambda a: a[ixr], ys)
+        pyg = ar.select(sgr, ar.sub(ar.zeros_like(pyg), pyg), pyg)
+        return jac_add_affine(ar, acc, pxg, pyg, vr), None
+
+    acc0 = curve.infinity((lanes,))
+    acc, _ = jax.lax.scan(step, acc0, (idx2, sign2, valid))
+    buckets = _tmap(lambda a: a.reshape(nw, nb, a.shape[-1]), acc)
+    return _weighted_reduce(curve, buckets, plan)
 
 
 def msm_tpu(
@@ -505,3 +541,58 @@ def msm_tpu(
         slow = MsmPlan(plan.n_bits, plan.c, plan.n, plan.rounds, use_jnp=True)
         res, _ = _msm_fused(curve, slow, xs, ys, sc_dev, point_valid)
     return res
+
+
+def msm_tpu_tree(
+    curve,
+    xs,
+    ys,
+    scalars_limbs,
+    n_bits: int = 254,
+    c: int = 11,
+    point_valid: Optional[jnp.ndarray] = None,
+    plan: Optional[MsmPlan] = None,
+):
+    """Pytree-coordinate MSM (G2): same planning as msm_tpu, jnp unified-
+    add accumulation (handles every exceptional case, no fallback)."""
+    if plan is None:
+        pv = None if point_valid is None else np.asarray(point_valid)
+        plan = plan_msm(np.asarray(scalars_limbs), n_bits, c, pv)
+    if point_valid is None:
+        point_valid = jnp.ones((plan.n,), dtype=bool)
+    return _msm_fused_tree(curve, plan, xs, ys, jnp.asarray(scalars_limbs), point_valid)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _occupancy_dev(plan: MsmPlan, scalars, point_valid):
+    slots, _ = _digits_signed_jnp(scalars, plan)
+    slots = jnp.where(point_valid[None, :], slots, 0)
+    counts = jax.vmap(
+        lambda row: jnp.zeros((plan.nb + 1,), jnp.int32).at[row].add(1)
+    )(slots)
+    return counts[:, 1:].max()
+
+
+def plan_msm_device(
+    scalars_dev: jnp.ndarray,
+    n_bits: int = 254,
+    c: int = 11,
+    point_valid: Optional[jnp.ndarray] = None,
+) -> MsmPlan:
+    """plan_msm for device-resident scalars (e.g. the h-operand straight
+    out of the NTT): occupancy is computed on-device, one scalar fetch."""
+    n = scalars_dev.shape[0]
+    probe = MsmPlan(n_bits, c, n, ROUND_GRANULE)
+    if point_valid is None:
+        point_valid = jnp.ones((n,), dtype=bool)
+    occ = max(int(_occupancy_dev(probe, scalars_dev, point_valid)), 1)
+    rounds = ((occ + ROUND_GRANULE - 1) // ROUND_GRANULE) * ROUND_GRANULE
+    return MsmPlan(n_bits, c, n, rounds)
+
+
+def scalars_to_limbs_fast(scalars, n_limbs: int = 16) -> np.ndarray:
+    """Vectorized host int -> 16-bit-limb conversion (np.frombuffer over a
+    byte join — ~50x the per-limb Python loop of msm.scalars_to_limbs)."""
+    blob = b"".join(int(s).to_bytes(2 * n_limbs, "little") for s in scalars)
+    arr = np.frombuffer(blob, dtype="<u2").reshape(len(scalars), n_limbs)
+    return arr.astype(np.uint32)

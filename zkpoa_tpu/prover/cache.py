@@ -15,7 +15,12 @@ import pickle
 from typing import Optional
 
 from ..models.r1cs import R1CS
-from .setup import ProvingKey, setup
+from .setup import ProvingKey, setup, setup_device
+
+# circuits above this size use the device-resident setup (HBM query tables,
+# no per-point host decode); such keys are not disk-cached — regenerating is
+# minutes, while fetching multi-GB tables through the host link is slower.
+DEVICE_SETUP_MIN_CONSTRAINTS = 300_000
 
 
 def _shape_digest(r1cs: R1CS, seed: str) -> str:
@@ -39,6 +44,8 @@ def cached_setup(
     """setup() with an on-disk cache. `name` is the human-readable
     size-encoded key name (reference convention), e.g.
     'layer_two_2_sigs_12_height'."""
+    if r1cs.n_constraints > DEVICE_SETUP_MIN_CONSTRAINTS:
+        return setup_device(r1cs, seed=seed)
     if cache_dir is None:
         return setup(r1cs, seed=seed)
     os.makedirs(cache_dir, exist_ok=True)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import hashlib
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,6 +71,79 @@ def compute_h_operand(
     raise ValueError(f"unknown h_basis {h_basis!r}")
 
 
+def _qap_domain_evals_fast(r1cs: R1CS, witness: Sequence[int], domain_size: int):
+    """_qap_domain_evals with vectorized host->device limb encoding (the
+    per-int Python loop of FieldSpec.to_limbs dominates at 10^7 wires)."""
+    from ..ops.msm_pallas import scalars_to_limbs_fast
+
+    a_ev, b_ev, c_ev = r1cs.eval_matrices(witness)
+    if not r1cs.c_rows and r1cs.n_constraints:
+        c_ev = [a * b % R for a, b in zip(a_ev, b_ev)]
+    pad = [0] * (domain_size - len(a_ev))
+
+    def enc(vals):
+        limbs = jnp.asarray(scalars_to_limbs_fast(vals + pad))
+        return BN254_FR.to_mont(limbs)
+
+    return enc(a_ev), enc(b_ev), enc(c_ev)
+
+
+def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
+    """prove() for device-resident keys (setup_device): every MSM operand
+    stays on device — witness limbs uploaded once, the h-operand comes
+    straight out of the NTT with no host round trip."""
+    from ..ops import msm_pallas as M2
+    from ..ops.ntt import coset_qap_evals, quotient
+
+    h_basis = getattr(pk, "h_basis", "monomial")
+    a_m, b_m, c_m = _qap_domain_evals_fast(r1cs, witness, pk.domain_size)
+    if h_basis == "monomial":
+        h_dev = BN254_FR.from_mont(quotient(a_m, b_m, c_m))[: len(pk.h_query)]
+    else:
+        h_dev = BN254_FR.from_mont(coset_qap_evals(a_m, b_m, c_m))
+
+    w = [int(x) % R for x in witness]
+    w_limbs = M2.scalars_to_limbs_fast(w)
+    w_dev = jnp.asarray(w_limbs)
+    priv_dev = w_dev[pk.n_public + 1 :]
+
+    plan_w = M2.plan_msm(w_limbs, 254, 11, np.asarray(pk.a_query.valid))
+    a_acc_d = M2.msm_tpu(BN254_G1, pk.a_query.xs, pk.a_query.ys, w_dev,
+                         point_valid=pk.a_query.valid, plan=plan_w)
+    plan_b1 = M2.plan_msm(w_limbs, 254, 11, np.asarray(pk.b1_query.valid))
+    b1_acc_d = M2.msm_tpu(BN254_G1, pk.b1_query.xs, pk.b1_query.ys, w_dev,
+                          point_valid=pk.b1_query.valid, plan=plan_b1)
+    plan_c = M2.plan_msm(w_limbs[pk.n_public + 1 :], 254, 11,
+                         np.asarray(pk.c_query.valid))
+    c_acc_d = M2.msm_tpu(BN254_G1, pk.c_query.xs, pk.c_query.ys, priv_dev,
+                         point_valid=pk.c_query.valid, plan=plan_c)
+    plan_h = M2.plan_msm_device(h_dev, 254, 11, pk.h_query.valid)
+    h_acc_d = M2.msm_tpu(BN254_G1, pk.h_query.xs, pk.h_query.ys, h_dev,
+                         point_valid=pk.h_query.valid, plan=plan_h)
+    plan_b2 = M2.plan_msm(w_limbs, 254, 11, np.asarray(pk.b2_query.valid))
+    b2_acc_d = M2.msm_tpu_tree(BN254_G2, pk.b2_query.xs, pk.b2_query.ys, w_dev,
+                               point_valid=pk.b2_query.valid, plan=plan_b2)
+
+    a_acc = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], a_acc_d))[0]
+    b1_acc = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], b1_acc_d))[0]
+    c_acc = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], c_acc_d))[0]
+    h_acc = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], h_acc_d))[0]
+    b2_acc = BN254_G2.decode_jac(jax.tree.map(lambda a: a[None], b2_acc_d))[0]
+    return _assemble_proof(pk, a_acc, b1_acc, c_acc, h_acc, b2_acc, r, s)
+
+
+def _assemble_proof(pk, a_acc, b1_acc, c_acc, h_acc, b2_acc, r, s) -> Proof:
+    g1 = bn254
+    pi_a = g1.g1_add(g1.g1_add(pk.alpha1, a_acc), g1.g1_mul(pk.delta1, r))
+    pi_b1 = g1.g1_add(g1.g1_add(pk.beta1, b1_acc), g1.g1_mul(pk.delta1, s))
+    pi_b2 = bn254.g2_add(bn254.g2_add(pk.beta2, b2_acc), bn254.g2_mul(pk.delta2, s))
+    pi_c = g1.g1_add(c_acc, h_acc)
+    pi_c = g1.g1_add(pi_c, g1.g1_mul(pi_a, s))
+    pi_c = g1.g1_add(pi_c, g1.g1_mul(pi_b1, r))
+    pi_c = g1.g1_add(pi_c, g1.g1_neg(g1.g1_mul(pk.delta1, r * s % R)))
+    return Proof(pi_a=pi_a, pi_b=pi_b2, pi_c=pi_c)
+
+
 def prove(
     pk: ProvingKey,
     r1cs: R1CS,
@@ -81,6 +155,11 @@ def prove(
     assert len(witness) == pk.n_vars
     r = _rand_fr(seed, "r") if r is None else r % R
     s = _rand_fr(seed, "s") if s is None else s % R
+
+    from .setup import DeviceG1Points
+
+    if isinstance(pk.a_query, DeviceG1Points):
+        return _prove_device(pk, r1cs, witness, seed, r, s)
 
     h_basis = getattr(pk, "h_basis", "monomial")
     h_coeffs = compute_h_operand(r1cs, witness, pk.domain_size, h_basis)

@@ -19,6 +19,7 @@ import hashlib
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,6 +97,98 @@ def _g1_points_from_scalars(scalars: Sequence[int]) -> List:
     return BN254_G1.decode_jac(acc)[:n]
 
 
+class DeviceG1Points:
+    """Device-resident G1 query table: Montgomery affine limb arrays.
+    Replaces host affine int lists for multi-million-point keys (per-point
+    host decode would take hours; these never leave HBM)."""
+
+    def __init__(self, xs, ys, valid):
+        self.xs = xs
+        self.ys = ys
+        self.valid = valid
+
+    def __len__(self):
+        return int(self.xs.shape[0])
+
+    def to_host(self) -> List:
+        """Affine int tuples (None = infinity) — small keys only."""
+        spec = BN254_G1.field
+        xs = spec.from_limbs(np.asarray(spec.from_mont(self.xs)))
+        ys = spec.from_limbs(np.asarray(spec.from_mont(self.ys)))
+        val = np.asarray(self.valid)
+        return [
+            (int(x), int(y)) if v else None for x, y, v in zip(xs, ys, val)
+        ]
+
+
+class DeviceG2Points:
+    """Device-resident G2 query table (Fp2 coordinate pairs)."""
+
+    def __init__(self, xs, ys, valid):
+        self.xs = xs  # (c0, c1) limb arrays
+        self.ys = ys
+        self.valid = valid
+
+    def __len__(self):
+        return int(self.xs[0].shape[0])
+
+
+SETUP_CHUNK = 1 << 19  # fixed-base generation chunk (compile reuse + HBM)
+
+
+def _g1_query_device(scalars_limbs: np.ndarray) -> DeviceG1Points:
+    """[k_i * G1] as device-resident Montgomery affine arrays, chunked
+    fixed-base + one Fermat batch inversion per chunk."""
+    n = scalars_limbs.shape[0]
+    xs_parts, ys_parts, val_parts = [], [], []
+    for off in range(0, n, SETUP_CHUNK):
+        chunk = scalars_limbs[off : off + SETUP_CHUNK]
+        pad = max(_pad_pow2(len(chunk)), 64) - len(chunk)
+        sc = jnp.asarray(
+            np.concatenate([chunk, np.zeros((pad, chunk.shape[1]), np.uint32)])
+            if pad
+            else chunk
+        )
+        jac = curve_jax.fixed_base_mul_batch(
+            BN254_G1, "bn254_g1", bn254.G1_GEN, bn254.g1_add, sc, 254
+        )
+        xs, ys, valid = curve_jax.jac_to_affine_mont(BN254_G1.field, jac)
+        m = len(chunk)
+        xs_parts.append(xs[:m])
+        ys_parts.append(ys[:m])
+        val_parts.append(valid[:m])
+    return DeviceG1Points(
+        jnp.concatenate(xs_parts),
+        jnp.concatenate(ys_parts),
+        jnp.concatenate(val_parts),
+    )
+
+
+def _g2_query_device(scalars_limbs: np.ndarray) -> DeviceG2Points:
+    from ..ops.fp2_jax import g2_jac_to_affine_mont
+
+    n = scalars_limbs.shape[0]
+    xs_parts, ys_parts, val_parts = [], [], []
+    for off in range(0, n, SETUP_CHUNK):
+        chunk = scalars_limbs[off : off + SETUP_CHUNK]
+        pad = max(_pad_pow2(len(chunk)), 64) - len(chunk)
+        sc = jnp.asarray(
+            np.concatenate([chunk, np.zeros((pad, chunk.shape[1]), np.uint32)])
+            if pad
+            else chunk
+        )
+        jac = curve_jax.fixed_base_mul_batch(
+            BN254_G2, "bn254_g2", bn254.G2_GEN, bn254.g2_add, sc, 254
+        )
+        xs, ys, valid = g2_jac_to_affine_mont(jac)
+        m = len(chunk)
+        xs_parts.append(jax.tree.map(lambda a: a[:m], xs))
+        ys_parts.append(jax.tree.map(lambda a: a[:m], ys))
+        val_parts.append(valid[:m])
+    cat = lambda parts: jax.tree.map(lambda *a: jnp.concatenate(a), *parts)  # noqa: E731
+    return DeviceG2Points(cat(xs_parts), cat(ys_parts), jnp.concatenate(val_parts))
+
+
 def _g2_points_from_scalars(scalars: Sequence[int]) -> List:
     n = len(scalars)
     if n == 0:
@@ -143,9 +236,9 @@ def qap_evaluate_at_tau(r1cs: R1CS, tau: int, domain_size: int):
     return a_t, b_t, c_t, z_tau
 
 
-def setup(
-    r1cs: R1CS, seed: str = "zkpoa-test-srs", h_basis: str = "monomial"
-) -> ProvingKey:
+def _setup_scalars(r1cs: R1CS, seed: str, h_basis: str):
+    """The exact host math of the trusted setup: QAP at tau + all query
+    scalar lists. Shared by the host-point and device-point setups."""
     tau = _hash_to_fr(seed, "tau")
     alpha = _hash_to_fr(seed, "alpha")
     beta = _hash_to_fr(seed, "beta")
@@ -172,6 +265,24 @@ def setup(
         (beta * a_t[k] + alpha * b_t[k] + c_t[k]) % R * delta_inv % R
         for k in range(n_pub + 1, n_vars)
     ]
+    h_scalars = _h_scalars(m, tau, z_tau, delta_inv, h_basis)
+    return {
+        "m": m,
+        "n_pub": n_pub,
+        "n_vars": n_vars,
+        "a_t": a_t,
+        "b_t": b_t,
+        "c_scalars": c_scalars,
+        "h_scalars": h_scalars,
+        "ic_scalars": ic_scalars,
+        "alpha": alpha,
+        "beta": beta,
+        "gamma": gamma,
+        "delta": delta,
+    }
+
+
+def _h_scalars(m: int, tau: int, z_tau: int, delta_inv: int, h_basis: str):
     if h_basis == "monomial":
         # H-query scalars: tau^i * Z(tau) / delta
         h_scalars = []
@@ -201,6 +312,17 @@ def setup(
         h_scalars = [scale * roots[i] % R * denom_inv[i] % R for i in range(m)]
     else:
         raise ValueError(f"unknown h_basis {h_basis!r}")
+    return h_scalars
+
+
+def setup(
+    r1cs: R1CS, seed: str = "zkpoa-test-srs", h_basis: str = "monomial"
+) -> ProvingKey:
+    s = _setup_scalars(r1cs, seed, h_basis)
+    n_vars, n_pub, m = s["n_vars"], s["n_pub"], s["m"]
+    a_t, b_t = s["a_t"], s["b_t"]
+    c_scalars, h_scalars, ic_scalars = s["c_scalars"], s["h_scalars"], s["ic_scalars"]
+    alpha, beta, gamma, delta = s["alpha"], s["beta"], s["gamma"], s["delta"]
 
     # --- all point generation on TPU (batched fixed-base) ---
     g1_scalars = (
@@ -218,6 +340,65 @@ def setup(
     g2_pts = _g2_points_from_scalars(b_t + [beta, gamma, delta])
     b2_query = g2_pts[:n_vars]
     beta2, gamma2, delta2 = g2_pts[n_vars], g2_pts[n_vars + 1], g2_pts[n_vars + 2]
+
+    from .groth16 import VerifyingKey
+
+    vk = VerifyingKey(
+        alpha_1=alpha1,
+        beta_2=beta2,
+        gamma_2=gamma2,
+        delta_2=delta2,
+        ic=ic_pts,
+        n_public=n_pub,
+    )
+
+    return ProvingKey(
+        n_vars=n_vars,
+        n_public=n_pub,
+        domain_size=m,
+        a_query=a_query,
+        b1_query=b1_query,
+        c_query=c_query,
+        h_query=h_query,
+        alpha1=alpha1,
+        beta1=beta1,
+        delta1=delta1,
+        b2_query=b2_query,
+        beta2=beta2,
+        delta2=delta2,
+        vk_json=vk.to_json(),
+        h_basis=h_basis,
+    )
+
+
+def setup_device(
+    r1cs: R1CS, seed: str = "zkpoa-test-srs", h_basis: str = "monomial"
+) -> ProvingKey:
+    """setup() with DEVICE-RESIDENT query tables (DeviceG1Points /
+    DeviceG2Points): the path for multi-million-constraint circuits (the
+    recursive layer-2/3 verifiers), where per-point host decoding would
+    dominate. Scalar math is identical to setup(); only the point tables'
+    residency differs. The few standalone points (alpha/beta/delta, IC)
+    stay host-side (they are O(n_public))."""
+    from ..ops.msm_pallas import scalars_to_limbs_fast
+
+    s = _setup_scalars(r1cs, seed, h_basis)
+    n_vars, n_pub, m = s["n_vars"], s["n_pub"], s["m"]
+    a_t, b_t = s["a_t"], s["b_t"]
+    c_scalars, h_scalars, ic_scalars = s["c_scalars"], s["h_scalars"], s["ic_scalars"]
+    alpha, beta, gamma, delta = s["alpha"], s["beta"], s["gamma"], s["delta"]
+
+    a_query = _g1_query_device(scalars_to_limbs_fast(a_t))
+    b1_query = _g1_query_device(scalars_to_limbs_fast(b_t))
+    c_query = _g1_query_device(scalars_to_limbs_fast(c_scalars))
+    h_query = _g1_query_device(scalars_to_limbs_fast(h_scalars))
+    b2_query = _g2_query_device(scalars_to_limbs_fast(b_t))
+
+    small = _g1_points_from_scalars(ic_scalars + [alpha, beta, delta])
+    ic_pts = small[: len(ic_scalars)]
+    alpha1, beta1, delta1 = small[-3], small[-2], small[-1]
+    g2_small = _g2_points_from_scalars([beta, gamma, delta])
+    beta2, gamma2, delta2 = g2_small
 
     from .groth16 import VerifyingKey
 
