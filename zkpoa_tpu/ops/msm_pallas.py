@@ -590,6 +590,16 @@ def plan_msm_device(
     return MsmPlan(n_bits, c, n, rounds)
 
 
+def auto_c(n: int) -> int:
+    """Window size by problem size (all values coprime-ish to 254 so the
+    top window never carries out: 254 % c != 0)."""
+    if n < 4096:
+        return 5
+    if n < 65536:
+        return 8
+    return 11
+
+
 def scalars_to_limbs_fast(scalars, n_limbs: int = 16) -> np.ndarray:
     """Vectorized host int -> 16-bit-limb conversion (np.frombuffer over a
     byte join — ~50x the per-limb Python loop of msm.scalars_to_limbs)."""

@@ -38,6 +38,13 @@ def domain_root(log_n: int) -> int:
     return pow(FR_GENERATOR, (R - 1) >> log_n, R)
 
 
+def host_mont_limbs(vals) -> np.ndarray:
+    """Montgomery-encode values on the HOST (no device work — safe inside
+    traced/jitted contexts where table caches may first be populated)."""
+    r_shift = 1 << (BN254_FR.n_limbs * 16)
+    return np.asarray(BN254_FR.to_limbs([int(v) * r_shift % R for v in vals]))
+
+
 @lru_cache(maxsize=None)
 def _domain_tables(log_n: int, inverse: bool) -> Tuple[Tuple[np.ndarray, ...], np.ndarray]:
     """Per-stage twiddle tables (Montgomery limbs) + bit-reversal permutation."""
@@ -56,35 +63,38 @@ def _domain_tables(log_n: int, inverse: bool) -> Tuple[Tuple[np.ndarray, ...], n
         tw = [1] * half
         for j in range(1, half):
             tw[j] = tw[j - 1] * base % R
-        enc = np.asarray(BN254_FR.to_limbs(tw))
-        stages.append(np.asarray(BN254_FR.to_mont(jnp.asarray(enc))))
+        stages.append(host_mont_limbs(tw))
     return tuple(stages), rev
 
 
 @partial(jax.jit, static_argnums=(1, 2))
 def _ntt_impl(values: jnp.ndarray, log_n: int, inverse: bool, stages, rev) -> jnp.ndarray:
+    """Transform over axis -2 ([..., n, K]); leading dims are batch (used
+    by the distributed four-step NTT for its row/column sub-transforms)."""
     spec = BN254_FR
     n = 1 << log_n
-    x = values[rev]
+    lead = values.shape[:-2]
+    x = jnp.take(values, rev, axis=-2)
     for s in range(log_n):
         half = 1 << s
         tw = stages[s]  # [half, K]
-        xb = x.reshape(n // (2 * half), 2, half, spec.n_limbs)
-        u = xb[:, 0]
-        v = L.mont_mul(spec, xb[:, 1], tw[None, :, :])
+        xb = x.reshape(lead + (n // (2 * half), 2, half, spec.n_limbs))
+        u = xb[..., 0, :, :]
+        v = L.mont_mul(spec, xb[..., 1, :, :], tw)
         lo = L.add_mod(spec, u, v)
         hi = L.sub_mod(spec, u, v)
-        x = jnp.stack([lo, hi], axis=1).reshape(n, spec.n_limbs)
+        x = jnp.stack([lo, hi], axis=-3).reshape(lead + (n, spec.n_limbs))
     if inverse:
         n_inv = pow(n, -1, R)
         n_inv_m = spec.encode([n_inv])[0]
-        x = L.mont_mul(spec, x, n_inv_m[None, :])
+        x = L.mont_mul(spec, x, n_inv_m)
     return x
 
 
 def ntt(values_mont: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
-    """values_mont: [n, K] Montgomery limbs, n a power of two."""
-    n = values_mont.shape[0]
+    """values_mont: [..., n, K] Montgomery limbs, n a power of two; the
+    transform runs over axis -2, leading dims are batch."""
+    n = values_mont.shape[-2]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, "size must be a power of two"
     stages, rev = _domain_tables(log_n, inverse)
@@ -117,16 +127,16 @@ def _coset_tables(log_n: int, inverse: bool, shift: int = FR_GENERATOR) -> np.nd
     pw = [1] * n
     for i in range(1, n):
         pw[i] = pw[i - 1] * g % R
-    enc = np.asarray(BN254_FR.to_limbs(pw))
-    return np.asarray(BN254_FR.to_mont(jnp.asarray(enc)))
+    return host_mont_limbs(pw)
 
 
 def coset_shift(
     values_mont: jnp.ndarray, inverse: bool = False, shift: int = FR_GENERATOR
 ) -> jnp.ndarray:
     """Multiply coefficient i by g^(±i): maps polynomial evaluation domain
-    D -> gD (the coset where Z(x) = x^n - 1 is the nonzero constant g^n - 1)."""
-    n = values_mont.shape[0]
+    D -> gD (the coset where Z(x) = x^n - 1 is the nonzero constant g^n - 1).
+    Operates on axis -2 ([..., n, K]); leading dims are batch."""
+    n = values_mont.shape[-2]
     log_n = n.bit_length() - 1
     tbl = jnp.asarray(_coset_tables(log_n, inverse, shift))
     return L.mont_mul(BN254_FR, values_mont, tbl)
@@ -149,7 +159,7 @@ def coset_qap_evals(
     the H points, not here.
     """
     if shift is None:
-        shift = snarkjs_coset_shift(a_ev.shape[0].bit_length() - 1)
+        shift = snarkjs_coset_shift(a_ev.shape[-2].bit_length() - 1)
     a_c = ntt(a_ev, inverse=True)
     b_c = ntt(b_ev, inverse=True)
     c_c = ntt(c_ev, inverse=True)
@@ -164,11 +174,12 @@ def quotient(a_ev: jnp.ndarray, b_ev: jnp.ndarray, c_ev: jnp.ndarray) -> jnp.nda
     """Compute h(X) coefficients with (A·B - C) exactly divisible by
     Z(X) = X^n - 1 on the evaluation domain (the Groth16/QAP setting).
 
-    Inputs are evaluations over the size-n domain (Montgomery limbs [n, K]).
-    Returns h coefficients [n, K] (degree <= n-2; top coefficient zero).
+    Inputs are evaluations over the size-n domain (Montgomery limbs
+    [..., n, K]; leading dims batch over independent proofs).
+    Returns h coefficients [..., n, K] (degree <= n-2; top coefficient zero).
     """
     spec = BN254_FR
-    n = a_ev.shape[0]
+    n = a_ev.shape[-2]
     # to coefficients
     a_c = ntt(a_ev, inverse=True)
     b_c = ntt(b_ev, inverse=True)

@@ -145,6 +145,7 @@ def run_workflow(
     batch_balance_sums: List[int] = []
     l2_sanitized: List[dict] = []
     l2_vk_jsons: List[dict] = []
+    bench_lines: List[str] = []  # benchmarks.txt (reference convention)
     for bi in range(bplan.num_batches):
         start, end = bplan.batch_range(bi)
         batch = atts[start:end]
@@ -163,6 +164,10 @@ def run_workflow(
                 ]
                 c1 = layer_one_circuit(sigs)
                 r1, w1 = c1.compile()
+                bench_lines.append(
+                    f"layer_one batch {bi}: {r1.n_constraints} constraints, "
+                    f"{r1.n_wires} wires ({len(batch)} sigs)"
+                )
                 pk1 = cached_setup(
                     r1, zkey_cache, f"layer_one_{len(batch)}_sigs", seed=setup_seed
                 )
@@ -200,6 +205,10 @@ def run_workflow(
                 ]
                 c2 = membership_sum_circuit(root, accounts, tree_levels=height - 1)
             r2, w2 = c2.compile()
+            bench_lines.append(
+                f"layer_two batch {bi}: {r2.n_constraints} constraints, "
+                f"{r2.n_wires} wires ({len(batch)} sigs, height {height}, {mode})"
+            )
             pk2 = cached_setup(
                 r2,
                 zkey_cache,
@@ -238,6 +247,10 @@ def run_workflow(
                 batch_balance_sums, root, blinding_factor, inner=inner3
             )
             r3, w3 = c3.compile()
+            bench_lines.append(
+                f"layer_three: {r3.n_constraints} constraints, {r3.n_wires} "
+                f"wires ({bplan.num_batches} batches, {mode})"
+            )
             pk3 = cached_setup(
                 r3, zkey_cache, f"layer_three_{bplan.num_batches}_batches", seed=setup_seed
             )
@@ -280,6 +293,17 @@ def run_workflow(
         assert l3_public[12] == root
         with open(os.path.join(l3dir, "commitment.json"), "w") as f:
             json.dump([str(x) for x in l3_public], f)
+
+    # benchmarks.txt: constraint counts + stage timings, the reference's
+    # per-run record (tests/*/benchmarks.txt; feeds the C1(s)/C2(s,h) fits)
+    with open(os.path.join(build_dir, "benchmarks.txt"), "w") as f:
+        f.write(f"config: {n}_sigs_{bplan.num_batches}_batches_{height}_height"
+                f" mode={mode}\n\nconstraints:\n")
+        for line in bench_lines:
+            f.write(f"  {line}\n")
+        f.write("\nstage timings (s):\n")
+        for k, v in timings.items():
+            f.write(f"  {k}: {v:.2f}\n")
 
     _log(f"workflow OK: balance_sum={balance_sum} root={root}")
     return WorkflowResult(

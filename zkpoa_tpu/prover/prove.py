@@ -107,20 +107,21 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
     w_dev = jnp.asarray(w_limbs)
     priv_dev = w_dev[pk.n_public + 1 :]
 
-    plan_w = M2.plan_msm(w_limbs, 254, 11, np.asarray(pk.a_query.valid))
+    c_w = M2.auto_c(len(w))
+    plan_w = M2.plan_msm(w_limbs, 254, c_w, np.asarray(pk.a_query.valid))
     a_acc_d = M2.msm_tpu(BN254_G1, pk.a_query.xs, pk.a_query.ys, w_dev,
                          point_valid=pk.a_query.valid, plan=plan_w)
-    plan_b1 = M2.plan_msm(w_limbs, 254, 11, np.asarray(pk.b1_query.valid))
+    plan_b1 = M2.plan_msm(w_limbs, 254, c_w, np.asarray(pk.b1_query.valid))
     b1_acc_d = M2.msm_tpu(BN254_G1, pk.b1_query.xs, pk.b1_query.ys, w_dev,
                           point_valid=pk.b1_query.valid, plan=plan_b1)
-    plan_c = M2.plan_msm(w_limbs[pk.n_public + 1 :], 254, 11,
-                         np.asarray(pk.c_query.valid))
+    plan_c = M2.plan_msm(w_limbs[pk.n_public + 1 :], 254,
+                         M2.auto_c(len(pk.c_query)), np.asarray(pk.c_query.valid))
     c_acc_d = M2.msm_tpu(BN254_G1, pk.c_query.xs, pk.c_query.ys, priv_dev,
                          point_valid=pk.c_query.valid, plan=plan_c)
-    plan_h = M2.plan_msm_device(h_dev, 254, 11, pk.h_query.valid)
+    plan_h = M2.plan_msm_device(h_dev, 254, M2.auto_c(len(pk.h_query)), pk.h_query.valid)
     h_acc_d = M2.msm_tpu(BN254_G1, pk.h_query.xs, pk.h_query.ys, h_dev,
                          point_valid=pk.h_query.valid, plan=plan_h)
-    plan_b2 = M2.plan_msm(w_limbs, 254, 11, np.asarray(pk.b2_query.valid))
+    plan_b2 = M2.plan_msm(w_limbs, 254, c_w, np.asarray(pk.b2_query.valid))
     b2_acc_d = M2.msm_tpu_tree(BN254_G2, pk.b2_query.xs, pk.b2_query.ys, w_dev,
                                point_valid=pk.b2_query.valid, plan=plan_b2)
 
