@@ -41,35 +41,53 @@ class MerkleTree:
     the leaf level and the root (reference convention: a tree over 2^(h-1)
     leaves has height h; full_workflow.sh computes h = ceil(log2(n))+1)."""
 
-    def __init__(self, levels: List[np.ndarray]):
+    def __init__(self, levels: List[jnp.ndarray]):
         # levels[0] = leaves (uint32 limbs [N, K], Montgomery form);
-        # levels[-1] = root ([1, K])
+        # levels[-1] = root ([1, K]). DEVICE-resident: nothing is fetched
+        # to the host during the build (the round-1 review flagged the
+        # per-level np.asarray round trips as the 10M-leaf killer); root
+        # and proof queries decode only the rows they need.
         self._levels = levels
 
     # -- construction -------------------------------------------------------
+
+    HASH_CHUNK = 1 << 15  # level-hash chunk: big levels share ONE compile
+
+    @classmethod
+    def _hash_level(cls, cur: jnp.ndarray) -> jnp.ndarray:
+        n2 = cur.shape[0] // 2
+        if n2 > cls.HASH_CHUNK:
+            parts = []
+            for o in range(0, n2, cls.HASH_CHUNK):
+                sl = cur[2 * o : 2 * (o + cls.HASH_CHUNK)]
+                parts.append(poseidon_jax.hash2(sl[0::2], sl[1::2]))
+            return jnp.concatenate(parts)
+        return poseidon_jax.hash2(cur[0::2], cur[1::2])
 
     @classmethod
     def from_leaves_mont(cls, leaves: jnp.ndarray) -> "MerkleTree":
         n = leaves.shape[0]
         assert n & (n - 1) == 0, "leaf count must be a power of two (pad first)"
-        levels = [np.asarray(leaves)]
+        levels = [leaves]
         cur = leaves
         while cur.shape[0] > 1:
-            cur = poseidon_jax.hash2(cur[0::2], cur[1::2])
-            levels.append(np.asarray(cur))
+            cur = cls._hash_level(cur)
+            levels.append(cur)
         return cls(levels)
 
     @classmethod
     def build(cls, addresses: Sequence[int], balances: Sequence[int], height: int) -> "MerkleTree":
         """Leaf = Poseidon(address, balance); pad with zero-valued leaves to
         2^(height-1) (the reference pads with 0, scripts/merkle_tree.rs:256-262)."""
+        from ..ops.msm_pallas import scalars_to_limbs_fast
+
         spec = BN254_FR
         n_leaves = 1 << (height - 1)
         n_real = len(addresses)
         if n_real > n_leaves:
             raise ValueError(f"{n_real} entries exceed 2^{height - 1} leaves")
-        addr_m = spec.encode(list(addresses))
-        bal_m = spec.encode(list(balances))
+        addr_m = spec.to_mont(jnp.asarray(scalars_to_limbs_fast(list(addresses))))
+        bal_m = spec.to_mont(jnp.asarray(scalars_to_limbs_fast(list(balances))))
         hashed = poseidon_jax.hash2(addr_m, bal_m)  # [n_real, K]
         pad = jnp.zeros((n_leaves - n_real, spec.n_limbs), dtype=jnp.uint32)
         leaves = jnp.concatenate([hashed, pad], axis=0)

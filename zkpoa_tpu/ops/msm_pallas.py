@@ -456,34 +456,47 @@ def _stream_indices(plan: MsmPlan, scalars, point_valid):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _msm_fused(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
-    """xs, ys: [N, K] Montgomery affine coords; scalars [N, K_s] plain
-    limbs; point_valid [N] bool. Single-chunk fused MSM. Returns
-    (jacobian result leaves [K], exception flag count)."""
+def _msm_stream_stage(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
+    """Stage 1: digit recoding, sort, round-stream gathers. Split from the
+    accumulate/reduce stages so each XLA module stays small — the
+    monolithic graph's server-side compile was OOM-killed at N ~ 10^6."""
     spec = curve.field
     k = spec.n_limbs
-    nb, nw, lanes, rounds = plan.nb, plan.nw, plan.lanes, plan.rounds
-
+    lanes, rounds = plan.lanes, plan.rounds
     idx, sign, valid = _stream_indices(plan, scalars, point_valid)
-    # extended y table: [2N, K] with negated y in the top half (for -P)
     ys_neg = L.sub_mod(spec, jnp.zeros_like(ys), ys)
     ys_ext = jnp.concatenate([ys, ys_neg], axis=0)
     idx_y = idx + jnp.where(sign, jnp.int32(plan.n), jnp.int32(0))
-    # row gathers (contiguous 64B rows — TPU-friendly), then limb-major
     px = xs[idx].reshape(rounds, lanes, k)
     py = ys_ext[idx_y].reshape(rounds, lanes, k)
     px = jnp.transpose(px, (0, 2, 1))  # [R, K, L]
     py = jnp.transpose(py, (0, 2, 1))
-    vstream = valid.astype(jnp.uint32)
+    return px, py, valid.astype(jnp.uint32)
 
-    ox, oy, oz, exc = _accumulate(spec, px, py, vstream, plan)
 
-    # [K, L] -> batch-major [nw, nb, K]
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _msm_accum_stage(curve, plan: MsmPlan, px, py, vstream):
+    return _accumulate(curve.field, px, py, vstream, plan)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _msm_reduce_stage(curve, plan: MsmPlan, ox, oy, oz):
+    k = curve.field.n_limbs
+    nb, nw = plan.nb, plan.nw
+
     def unlm(a):
         return a.T.reshape(nw, nb, k)
 
-    buckets = (unlm(ox), unlm(oy), unlm(oz))
-    return _weighted_reduce(curve, buckets, plan), jnp.sum(exc)
+    return _weighted_reduce(curve, (unlm(ox), unlm(oy), unlm(oz)), plan)
+
+
+def _msm_fused(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
+    """xs, ys: [N, K] Montgomery affine coords; scalars [N, K_s] plain
+    limbs; point_valid [N] bool. Single-chunk fused MSM (three jitted
+    stages). Returns (jacobian result leaves [K], exception flag count)."""
+    px, py, vstream = _msm_stream_stage(curve, plan, xs, ys, scalars, point_valid)
+    ox, oy, oz, exc = _msm_accum_stage(curve, plan, px, py, vstream)
+    return _msm_reduce_stage(curve, plan, ox, oy, oz), jnp.sum(exc)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))

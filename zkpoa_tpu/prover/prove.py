@@ -95,7 +95,15 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
     from ..ops import msm_pallas as M2
     from ..ops.ntt import coset_qap_evals, quotient
 
+    import os as _os
+    import sys as _sys
+
+    def _vlog(msg):
+        if _os.environ.get("ZKPOA_VERBOSE"):
+            print(f"[zkpoa:prove] {msg}", file=_sys.stderr, flush=True)
+
     h_basis = getattr(pk, "h_basis", "monomial")
+    _vlog("qap domain evals")
     a_m, b_m, c_m = _qap_domain_evals_fast(r1cs, witness, pk.domain_size)
     if h_basis == "monomial":
         h_dev = BN254_FR.from_mont(quotient(a_m, b_m, c_m))[: len(pk.h_query)]
@@ -108,23 +116,29 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
     priv_dev = w_dev[pk.n_public + 1 :]
 
     c_w = M2.auto_c(len(w))
+    _vlog("a-query MSM")
     plan_w = M2.plan_msm(w_limbs, 254, c_w, np.asarray(pk.a_query.valid))
     a_acc_d = M2.msm_tpu(BN254_G1, pk.a_query.xs, pk.a_query.ys, w_dev,
                          point_valid=pk.a_query.valid, plan=plan_w)
+    _vlog("b1-query MSM")
     plan_b1 = M2.plan_msm(w_limbs, 254, c_w, np.asarray(pk.b1_query.valid))
     b1_acc_d = M2.msm_tpu(BN254_G1, pk.b1_query.xs, pk.b1_query.ys, w_dev,
                           point_valid=pk.b1_query.valid, plan=plan_b1)
+    _vlog("c-query MSM")
     plan_c = M2.plan_msm(w_limbs[pk.n_public + 1 :], 254,
                          M2.auto_c(len(pk.c_query)), np.asarray(pk.c_query.valid))
     c_acc_d = M2.msm_tpu(BN254_G1, pk.c_query.xs, pk.c_query.ys, priv_dev,
                          point_valid=pk.c_query.valid, plan=plan_c)
+    _vlog("h-query MSM")
     plan_h = M2.plan_msm_device(h_dev, 254, M2.auto_c(len(pk.h_query)), pk.h_query.valid)
     h_acc_d = M2.msm_tpu(BN254_G1, pk.h_query.xs, pk.h_query.ys, h_dev,
                          point_valid=pk.h_query.valid, plan=plan_h)
+    _vlog("b2-query G2 MSM")
     plan_b2 = M2.plan_msm(w_limbs, 254, c_w, np.asarray(pk.b2_query.valid))
     b2_acc_d = M2.msm_tpu_tree(BN254_G2, pk.b2_query.xs, pk.b2_query.ys, w_dev,
                                point_valid=pk.b2_query.valid, plan=plan_b2)
 
+    _vlog("decode proof points")
     a_acc = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], a_acc_d))[0]
     b1_acc = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], b1_acc_d))[0]
     c_acc = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], c_acc_d))[0]

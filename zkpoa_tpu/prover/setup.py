@@ -136,12 +136,21 @@ class DeviceG2Points:
 SETUP_CHUNK = 1 << 19  # fixed-base generation chunk (compile reuse + HBM)
 
 
+def _vlog(msg: str) -> None:
+    import os
+    import sys
+
+    if os.environ.get("ZKPOA_VERBOSE"):
+        print(f"[zkpoa:setup] {msg}", file=sys.stderr, flush=True)
+
+
 def _g1_query_device(scalars_limbs: np.ndarray) -> DeviceG1Points:
     """[k_i * G1] as device-resident Montgomery affine arrays, chunked
     fixed-base + one Fermat batch inversion per chunk."""
     n = scalars_limbs.shape[0]
     xs_parts, ys_parts, val_parts = [], [], []
     for off in range(0, n, SETUP_CHUNK):
+        _vlog(f"g1 query chunk {off}/{n}")
         chunk = scalars_limbs[off : off + SETUP_CHUNK]
         pad = max(_pad_pow2(len(chunk)), 64) - len(chunk)
         sc = jnp.asarray(
@@ -170,6 +179,7 @@ def _g2_query_device(scalars_limbs: np.ndarray) -> DeviceG2Points:
     n = scalars_limbs.shape[0]
     xs_parts, ys_parts, val_parts = [], [], []
     for off in range(0, n, SETUP_CHUNK):
+        _vlog(f"g2 query chunk {off}/{n}")
         chunk = scalars_limbs[off : off + SETUP_CHUNK]
         pad = max(_pad_pow2(len(chunk)), 64) - len(chunk)
         sc = jnp.asarray(
@@ -382,17 +392,24 @@ def setup_device(
     stay host-side (they are O(n_public))."""
     from ..ops.msm_pallas import scalars_to_limbs_fast
 
+    _vlog(f"setup_device: host QAP scalars ({r1cs.n_constraints} constraints)")
     s = _setup_scalars(r1cs, seed, h_basis)
     n_vars, n_pub, m = s["n_vars"], s["n_pub"], s["m"]
     a_t, b_t = s["a_t"], s["b_t"]
     c_scalars, h_scalars, ic_scalars = s["c_scalars"], s["h_scalars"], s["ic_scalars"]
     alpha, beta, gamma, delta = s["alpha"], s["beta"], s["gamma"], s["delta"]
 
+    _vlog("setup_device: a_query")
     a_query = _g1_query_device(scalars_to_limbs_fast(a_t))
+    _vlog("setup_device: b1_query")
     b1_query = _g1_query_device(scalars_to_limbs_fast(b_t))
+    _vlog("setup_device: c_query")
     c_query = _g1_query_device(scalars_to_limbs_fast(c_scalars))
+    _vlog("setup_device: h_query")
     h_query = _g1_query_device(scalars_to_limbs_fast(h_scalars))
+    _vlog("setup_device: b2_query (G2)")
     b2_query = _g2_query_device(scalars_to_limbs_fast(b_t))
+    _vlog("setup_device: done")
 
     small = _g1_points_from_scalars(ic_scalars + [alpha, beta, delta])
     ic_pts = small[: len(ic_scalars)]
