@@ -127,3 +127,24 @@ def test_msm_fused_all_zero_scalars():
     res = M2.msm_tpu(BN254_G1, xs, ys, sc, n_bits=254, c=5, point_valid=valid)
     got = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], res))[0]
     assert got is None
+
+
+def test_msm_host_plan_path_matches():
+    """The host-planned stream path (numpy digits/sort, device gathers
+    only) must agree with the device-planned path — it's what the prover
+    uses above HOST_PLAN_MIN_N, where the device sort's compile stalls."""
+    rng = np.random.default_rng(21)
+    n = 48
+    pts = [bn254.g1_mul(bn254.G1_GEN, int(k) + 1) for k in rng.integers(1, 10**6, size=n)]
+    scalars = [int.from_bytes(rng.bytes(32), "big") % bn254.R for _ in range(n)]
+    sc = msm_mod.scalars_to_limbs(scalars)
+    xs, ys, valid = BN254_G1.encode_affine(pts)
+    plan = M2.plan_msm(sc, 254, 5, np.asarray(valid))
+    hp = M2._stream_indices_host(plan, sc, np.asarray(valid))
+    res, exc = M2._msm_fused(BN254_G1, plan, xs, ys, jnp.asarray(sc), valid, hp)
+    got = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], res))[0]
+    assert got == _host_sum(pts, scalars)
+    # G2-style tree path through the same host plan (G1 coords as pytree)
+    res2 = M2._msm_fused_tree(BN254_G1, plan, xs, ys, jnp.asarray(sc), valid, hp)
+    got2 = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], res2))[0]
+    assert got2 == _host_sum(pts, scalars)

@@ -46,6 +46,8 @@ from . import pallas_field as PF
 from .limbs import LIMB_BITS, FieldSpec
 
 ROUND_GRANULE = 16  # static round counts rounded up to this (compile reuse)
+HOST_PLAN_MIN_N = 1 << 18  # above this, plan streams on the host (numpy):
+# the device-sort XLA program takes ~10 min to remote-compile at N ~ 10^6
 LANE_TILE = 4096  # lane-axis tile of the accumulation kernel (VMEM budget)
 
 
@@ -438,6 +440,29 @@ def _weighted_reduce(curve, buckets, plan: MsmPlan):
 # ---------------------------------------------------------------------------
 
 
+def _stream_indices_host(plan: MsmPlan, scalars_np: np.ndarray, point_valid_np):
+    """Host (numpy) stream planning: digits, per-window argsort, bucket
+    starts. The device-sort variant's XLA program (variadic sort over
+    [nw, N]) compiles for many minutes at N ~ 10^6 through the remote
+    compile helper, while numpy does the whole plan in seconds — and the
+    prover's scalars are host-known anyway. Returns (order_y [nw, N] int32
+    with the sign folded as +N, b_start [nw, nb], b_end [nw, nb])."""
+    n = plan.n
+    nb = plan.nb
+    slots, signs = _digits_signed_np(scalars_np, plan)
+    key = np.where(slots > 0, slots - 1, nb).astype(np.int64)
+    if point_valid_np is not None:
+        key = np.where(np.asarray(point_valid_np)[None, :], key, nb)
+    order = np.argsort(key, axis=1, kind="stable").astype(np.int32)
+    key_sorted = np.take_along_axis(key, order, axis=1)
+    sign_sorted = np.take_along_axis(signs, order, axis=1)
+    starts = np.stack(
+        [np.searchsorted(row, np.arange(nb + 1)) for row in key_sorted]
+    ).astype(np.int32)
+    order_y = order + np.where(sign_sorted, np.int32(n), np.int32(0)).astype(np.int32)
+    return order_y, starts[:, :-1], starts[:, 1:]
+
+
 def _stream_indices(plan: MsmPlan, scalars, point_valid):
     """Shared stream planning: returns (idx [R*L] int32 point indices,
     sign [R*L] bool, valid [R, L] bool)."""
@@ -457,7 +482,8 @@ def _stream_indices(plan: MsmPlan, scalars, point_valid):
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _msm_stream_stage(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
-    """Stage 1: digit recoding, sort, round-stream gathers. Split from the
+    """Stage 1 (device planning): digit recoding, sort, round-stream
+    gathers. Used when the scalars only exist on device. Split from the
     accumulate/reduce stages so each XLA module stays small — the
     monolithic graph's server-side compile was OOM-killed at N ~ 10^6."""
     spec = curve.field
@@ -472,6 +498,31 @@ def _msm_stream_stage(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
     px = jnp.transpose(px, (0, 2, 1))  # [R, K, L]
     py = jnp.transpose(py, (0, 2, 1))
     return px, py, valid.astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _msm_gather_stage(curve, plan: MsmPlan, xs, ys, order_y, b_start, b_end):
+    """Stage 1 (host planning): gathers only — order/starts computed by
+    _stream_indices_host in numpy (the device sort's compile is the
+    bottleneck at prover scale, and prover scalars are host-known)."""
+    spec = curve.field
+    k = spec.n_limbs
+    n, lanes, rounds = plan.n, plan.lanes, plan.rounds
+    ys_neg = L.sub_mod(spec, jnp.zeros_like(ys), ys)
+    ys_ext = jnp.concatenate([ys, ys_neg], axis=0)
+    r_idx = jnp.arange(rounds, dtype=jnp.int32)
+    pos = b_start[None, :, :] + r_idx[:, None, None]  # [R, nw, nb]
+    valid = pos < b_end[None, :, :]
+    pos_c = jnp.minimum(pos, n - 1)
+    idx_y = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_y, pos_c)
+    idx_flat = idx_y.reshape(-1)
+    sign = idx_flat >= n
+    idx = jnp.where(sign, idx_flat - n, idx_flat)
+    px = xs[idx].reshape(rounds, lanes, k)
+    py = ys_ext[idx_flat].reshape(rounds, lanes, k)
+    px = jnp.transpose(px, (0, 2, 1))
+    py = jnp.transpose(py, (0, 2, 1))
+    return px, py, valid.reshape(rounds, lanes).astype(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -490,26 +541,56 @@ def _msm_reduce_stage(curve, plan: MsmPlan, ox, oy, oz):
     return _weighted_reduce(curve, (unlm(ox), unlm(oy), unlm(oz)), plan)
 
 
-def _msm_fused(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
+def _msm_fused(curve, plan: MsmPlan, xs, ys, scalars, point_valid,
+               host_plan=None):
     """xs, ys: [N, K] Montgomery affine coords; scalars [N, K_s] plain
     limbs; point_valid [N] bool. Single-chunk fused MSM (three jitted
-    stages). Returns (jacobian result leaves [K], exception flag count)."""
-    px, py, vstream = _msm_stream_stage(curve, plan, xs, ys, scalars, point_valid)
+    stages). Returns (jacobian result leaves [K], exception flag count).
+    `host_plan` = (order_y, b_start, b_end) from _stream_indices_host —
+    skips the device sort entirely (its XLA compile stalls at N ~ 10^6)."""
+    if host_plan is not None:
+        oy_, bs_, be_ = host_plan
+        px, py, vstream = _msm_gather_stage(
+            curve, plan, xs, ys, jnp.asarray(oy_), jnp.asarray(bs_), jnp.asarray(be_)
+        )
+    else:
+        px, py, vstream = _msm_stream_stage(curve, plan, xs, ys, scalars, point_valid)
     ox, oy, oz, exc = _msm_accum_stage(curve, plan, px, py, vstream)
     return _msm_reduce_stage(curve, plan, ox, oy, oz), jnp.sum(exc)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _msm_fused_tree(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
-    """Pytree-coordinate variant (G2 over Fp2): same stream planning, a
-    lax.scan of unified batch-major mixed adds for accumulation (no Pallas
-    kernel — Fp2 tower ops compose the jnp limb substrate)."""
+def _tree_indices_device(curve, plan: MsmPlan, scalars, point_valid):
+    idx, sign, valid = _stream_indices(plan, scalars, point_valid)
+    return (
+        idx.reshape(plan.rounds, plan.lanes),
+        sign.reshape(plan.rounds, plan.lanes),
+        valid,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _tree_gather_indices(curve, plan: MsmPlan, order_y, b_start, b_end):
+    n, lanes, rounds = plan.n, plan.lanes, plan.rounds
+    r_idx = jnp.arange(rounds, dtype=jnp.int32)
+    pos = b_start[None, :, :] + r_idx[:, None, None]
+    valid = pos < b_end[None, :, :]
+    pos_c = jnp.minimum(pos, n - 1)
+    idx_y = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_y, pos_c)
+    idx_flat = idx_y.reshape(rounds, lanes)
+    sign = idx_flat >= n
+    idx = jnp.where(sign, idx_flat - n, idx_flat)
+    return idx, sign, valid.reshape(rounds, lanes)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _tree_accum_reduce(curve, plan: MsmPlan, xs, ys, idx2, sign2, valid):
+    """Pytree-coordinate accumulation + reduce (G2 over Fp2): a lax.scan
+    of unified batch-major mixed adds (no Pallas kernel — Fp2 tower ops
+    compose the jnp limb substrate)."""
     from .curve_jax import jac_add_affine
 
-    nb, nw, lanes, rounds = plan.nb, plan.nw, plan.lanes, plan.rounds
-    idx, sign, valid = _stream_indices(plan, scalars, point_valid)
-    idx2 = idx.reshape(rounds, lanes)
-    sign2 = sign.reshape(rounds, lanes)
+    nb, nw, lanes = plan.nb, plan.nw, plan.lanes
     ar = curve.arith()
 
     def step(acc, xs_in):
@@ -523,6 +604,18 @@ def _msm_fused_tree(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
     acc, _ = jax.lax.scan(step, acc0, (idx2, sign2, valid))
     buckets = _tmap(lambda a: a.reshape(nw, nb, a.shape[-1]), acc)
     return _weighted_reduce(curve, buckets, plan)
+
+
+def _msm_fused_tree(curve, plan: MsmPlan, xs, ys, scalars, point_valid,
+                    host_plan=None):
+    if host_plan is not None:
+        oy_, bs_, be_ = host_plan
+        idx2, sign2, valid = _tree_gather_indices(
+            curve, plan, jnp.asarray(oy_), jnp.asarray(bs_), jnp.asarray(be_)
+        )
+    else:
+        idx2, sign2, valid = _tree_indices_device(curve, plan, scalars, point_valid)
+    return _tree_accum_reduce(curve, plan, xs, ys, idx2, sign2, valid)
 
 
 def msm_tpu(
@@ -543,16 +636,26 @@ def msm_tpu(
     input points are distinct, as zkey/table points are); if any bucket
     lane flags it, the MSM transparently re-runs through the unified jnp
     accumulator (ZKPOA_PALLAS=0 semantics)."""
+    host_scalars = isinstance(scalars_limbs, np.ndarray)
+    pv = None if point_valid is None else np.asarray(point_valid)
     if plan is None:
-        pv = None if point_valid is None else np.asarray(point_valid)
         plan = plan_msm(np.asarray(scalars_limbs), n_bits, c, pv)
     if point_valid is None:
         point_valid = jnp.ones((plan.n,), dtype=bool)
-    sc_dev = jnp.asarray(scalars_limbs)
-    res, exc = _msm_fused(curve, plan, xs, ys, sc_dev, point_valid)
+    host_plan = (
+        _stream_indices_host(plan, scalars_limbs, pv)
+        if host_scalars and plan.n >= HOST_PLAN_MIN_N
+        else None
+    )
+    # with a host plan the device never needs the scalars themselves
+    sc_dev = (
+        jnp.zeros((1, 1), jnp.uint32) if host_plan is not None
+        else jnp.asarray(scalars_limbs)
+    )
+    res, exc = _msm_fused(curve, plan, xs, ys, sc_dev, point_valid, host_plan)
     if jax.default_backend() != "cpu" and not plan.use_jnp and int(exc) != 0:
         slow = MsmPlan(plan.n_bits, plan.c, plan.n, plan.rounds, use_jnp=True)
-        res, _ = _msm_fused(curve, slow, xs, ys, sc_dev, point_valid)
+        res, _ = _msm_fused(curve, slow, xs, ys, sc_dev, point_valid, host_plan)
     return res
 
 
@@ -568,12 +671,22 @@ def msm_tpu_tree(
 ):
     """Pytree-coordinate MSM (G2): same planning as msm_tpu, jnp unified-
     add accumulation (handles every exceptional case, no fallback)."""
+    host_scalars = isinstance(scalars_limbs, np.ndarray)
+    pv = None if point_valid is None else np.asarray(point_valid)
     if plan is None:
-        pv = None if point_valid is None else np.asarray(point_valid)
         plan = plan_msm(np.asarray(scalars_limbs), n_bits, c, pv)
     if point_valid is None:
         point_valid = jnp.ones((plan.n,), dtype=bool)
-    return _msm_fused_tree(curve, plan, xs, ys, jnp.asarray(scalars_limbs), point_valid)
+    host_plan = (
+        _stream_indices_host(plan, scalars_limbs, pv)
+        if host_scalars and plan.n >= HOST_PLAN_MIN_N
+        else None
+    )
+    sc_dev = (
+        jnp.zeros((1, 1), jnp.uint32) if host_plan is not None
+        else jnp.asarray(scalars_limbs)
+    )
+    return _msm_fused_tree(curve, plan, xs, ys, sc_dev, point_valid, host_plan)
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -109,34 +109,39 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
         h_dev = BN254_FR.from_mont(quotient(a_m, b_m, c_m))[: len(pk.h_query)]
     else:
         h_dev = BN254_FR.from_mont(coset_qap_evals(a_m, b_m, c_m))
+    # fetch the h operand for HOST stream planning (the device-sort
+    # program takes ~10 minutes to compile at N ~ 10^6; numpy plans the
+    # whole stream in seconds)
+    h_limbs = np.asarray(h_dev)
 
     w = [int(x) % R for x in witness]
     w_limbs = M2.scalars_to_limbs_fast(w)
-    w_dev = jnp.asarray(w_limbs)
-    priv_dev = w_dev[pk.n_public + 1 :]
 
     c_w = M2.auto_c(len(w))
     _vlog("a-query MSM")
     plan_w = M2.plan_msm(w_limbs, 254, c_w, np.asarray(pk.a_query.valid))
-    a_acc_d = M2.msm_tpu(BN254_G1, pk.a_query.xs, pk.a_query.ys, w_dev,
+    a_acc_d = M2.msm_tpu(BN254_G1, pk.a_query.xs, pk.a_query.ys, w_limbs,
                          point_valid=pk.a_query.valid, plan=plan_w)
     _vlog("b1-query MSM")
     plan_b1 = M2.plan_msm(w_limbs, 254, c_w, np.asarray(pk.b1_query.valid))
-    b1_acc_d = M2.msm_tpu(BN254_G1, pk.b1_query.xs, pk.b1_query.ys, w_dev,
+    b1_acc_d = M2.msm_tpu(BN254_G1, pk.b1_query.xs, pk.b1_query.ys, w_limbs,
                           point_valid=pk.b1_query.valid, plan=plan_b1)
     _vlog("c-query MSM")
     plan_c = M2.plan_msm(w_limbs[pk.n_public + 1 :], 254,
                          M2.auto_c(len(pk.c_query)), np.asarray(pk.c_query.valid))
-    c_acc_d = M2.msm_tpu(BN254_G1, pk.c_query.xs, pk.c_query.ys, priv_dev,
+    c_acc_d = M2.msm_tpu(BN254_G1, pk.c_query.xs, pk.c_query.ys,
+                         w_limbs[pk.n_public + 1 :],
                          point_valid=pk.c_query.valid, plan=plan_c)
     _vlog("h-query MSM")
-    plan_h = M2.plan_msm_device(h_dev, 254, M2.auto_c(len(pk.h_query)), pk.h_query.valid)
-    h_acc_d = M2.msm_tpu(BN254_G1, pk.h_query.xs, pk.h_query.ys, h_dev,
+    plan_h = M2.plan_msm(h_limbs, 254, M2.auto_c(len(pk.h_query)),
+                         np.asarray(pk.h_query.valid))
+    h_acc_d = M2.msm_tpu(BN254_G1, pk.h_query.xs, pk.h_query.ys, h_limbs,
                          point_valid=pk.h_query.valid, plan=plan_h)
     _vlog("b2-query G2 MSM")
     plan_b2 = M2.plan_msm(w_limbs, 254, c_w, np.asarray(pk.b2_query.valid))
-    b2_acc_d = M2.msm_tpu_tree(BN254_G2, pk.b2_query.xs, pk.b2_query.ys, w_dev,
-                               point_valid=pk.b2_query.valid, plan=plan_b2)
+    b2_acc_d = M2.msm_tpu_tree(BN254_G2, pk.b2_query.xs, pk.b2_query.ys,
+                               w_limbs, point_valid=pk.b2_query.valid,
+                               plan=plan_b2)
 
     _vlog("decode proof points")
     a_acc = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], a_acc_d))[0]
