@@ -33,29 +33,34 @@ def _diff_time(make_chain, k1=1, k2=4):
 
 
 def bench_msm(log_n=15):
-    from zkpoa_tpu.ops import msm as M
+    """Fused-kernel MSM (ops/msm_pallas) — separate device calls, K-diff
+    timing (the chained-fori form crashed the TPU worker; see bench.py)."""
+    from zkpoa_tpu.fields import bn254
+    from zkpoa_tpu.ops import msm_pallas as M2
     from zkpoa_tpu.ops.curve_jax import BN254_G1
 
     n = 1 << log_n
     rng = np.random.default_rng(0)
-    xs = jnp.asarray(rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32))
-    ys = jnp.asarray(rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32))
-    sc = jnp.asarray(rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32))
+    xs = jnp.broadcast_to(BN254_G1.field.encode([bn254.G1_GEN[0]]), (n, 16)).copy()
+    ys = jnp.broadcast_to(BN254_G1.field.encode([bn254.G1_GEN[1]]), (n, 16)).copy()
     valid = jnp.ones((n,), dtype=bool)
-    c = max(8, log_n - 4)
+    scs = [
+        np.asarray(M2.scalars_to_limbs_fast(
+            [int.from_bytes(rng.bytes(32), "big") % bn254.R for _ in range(n)]
+        ))
+        for _ in range(5)
+    ]
+    rounds = max(M2.plan_msm(s, 254, 11).rounds for s in scs)
+    plan = M2.MsmPlan(254, 11, n, rounds)
 
     def make(k):
-        @partial(jax.jit, static_argnums=0)
-        def run(kk):
-            def body(i, acc):
-                r = M.msm_impl(BN254_G1, xs, ys, jnp.roll(sc, i, axis=0), 254, c,
-                               point_valid=valid)
-                return jax.tree.map(lambda a, b: a + b[None], acc,
-                                    jax.tree.map(lambda v: v.astype(jnp.uint32), r))
-            acc0 = BN254_G1.infinity((1,))
-            out = jax.lax.fori_loop(0, kk, body, acc0)
-            return out[0].sum()
-        return lambda: run(k)
+        def run():
+            r = None
+            for i in range(k):
+                r = M2.msm_tpu(BN254_G1, xs, ys, scs[i % len(scs)],
+                               point_valid=valid, plan=plan)
+            return r[0][0]
+        return run
 
     dt = _diff_time(make)
     return {"metric": "msm_g1", "n": n, "ms": round(dt * 1e3, 2),

@@ -500,6 +500,120 @@ def _msm_stream_stage(curve, plan: MsmPlan, xs, ys, scalars, point_valid):
     return px, py, valid.astype(jnp.uint32)
 
 
+RG_ROUNDS = 64  # rounds per gather/accumulate group (host-planned path):
+# fixed [RG, K, L] shapes keep every compile unit small and REUSED across
+# round counts — the whole-stream gather module OOM-killed the remote
+# compile helper at N ~ 1.6M (5GB stream buffers in one XLA module)
+
+
+def _accum_group_kernel(ax, ay, az, ae, px_ref, py_ref, v_ref,
+                        ox_ref, oy_ref, oz_ref, oe_ref, *, mod, n0, one_m):
+    """Like _accum_kernel_body but the accumulator arrives via aliased
+    input buffers (carried across round groups) — no r == 0 init."""
+    r = pl.program_id(1)
+    k = ox_ref.shape[0]
+    x1 = [ox_ref[j] for j in range(k)]
+    y1 = [oy_ref[j] for j in range(k)]
+    z1 = [oz_ref[j] for j in range(k)]
+    xq = [px_ref[0, j] for j in range(k)]
+    yq = [py_ref[0, j] for j in range(k)]
+    vq = v_ref[r % 8] != 0
+    x3, y3, z3, exc = _k_jac_madd_noexcept(x1, y1, z1, xq, yq, vq, mod, n0, one_m)
+    ox_ref[...] = PF._stack(x3)
+    oy_ref[...] = PF._stack(y3)
+    oz_ref[...] = PF._stack(z3)
+    oe_ref[0] = oe_ref[0] | exc.astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4, 5))
+def _accum_group(curve, plan: MsmPlan, ax, ay, az, ae, px, py, vstream):
+    """One RG_ROUNDS group of bucket accumulation; acc buffers donated and
+    aliased so the state stays in place across groups."""
+    spec = curve.field
+    k = spec.n_limbs
+    lanes = px.shape[2]
+    rg = px.shape[0]
+    mod = tuple(int(x) for x in spec.mod_limbs)
+    n0 = int(spec.n0inv)
+    one_m = tuple(int(x) for x in spec.one_mont_limbs)
+    if jax.default_backend() == "cpu" or plan.use_jnp:
+        # jnp reference path: unified adds, then merge into the carried acc
+        ox, oy, oz, exc = _accumulate_jnp(spec, px, py, vstream)
+        from .curve_jax import fp_arith, jac_add
+
+        ar = fp_arith(spec)
+        merged = jac_add(ar, (ax.T, ay.T, az.T), (ox.T, oy.T, oz.T))
+        return merged[0].T, merged[1].T, merged[2].T, ae | jnp.broadcast_to(exc, ae.shape)
+
+    tile = LANE_TILE if lanes % LANE_TILE == 0 else lanes
+    ntiles = lanes // tile
+    kernel = functools.partial(_accum_group_kernel, mod=mod, n0=n0, one_m=one_m)
+    coord_in = pl.BlockSpec((1, k, tile), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM)
+    flag_in = pl.BlockSpec((8, tile), lambda j, i: (i // 8, j), memory_space=pltpu.VMEM)
+    coord_acc = pl.BlockSpec((k, tile), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    exc_spec = pl.BlockSpec((8, tile), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    ox, oy, oz, oe = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((k, lanes), jnp.uint32)] * 3
+        + [jax.ShapeDtypeStruct((8, lanes), jnp.uint32)],
+        grid=(ntiles, rg),
+        in_specs=[coord_acc, coord_acc, coord_acc, exc_spec, coord_in, coord_in, flag_in],
+        out_specs=[coord_acc] * 3 + [exc_spec],
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+    )(ax, ay, az, ae, px, py, vstream)
+    return ox, oy, oz, oe
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _gather_group(curve, plan: MsmPlan, rg: int, xs, ys_ext, order_y,
+                  b_start, b_end, r0):
+    """Gather one group of rounds [r0, r0+rg) into [RG, K, L] streams.
+    r0 is a traced scalar, so ONE compile serves every group and every
+    round count at a given (N, rg, lanes)."""
+    spec = curve.field
+    k = spec.n_limbs
+    n, lanes = plan.n, plan.lanes
+    r_idx = r0 + jnp.arange(rg, dtype=jnp.int32)
+    pos = b_start[None, :, :] + r_idx[:, None, None]
+    valid = pos < b_end[None, :, :]
+    pos_c = jnp.minimum(pos, n - 1)
+    idx_y = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_y, pos_c)
+    idx_flat = idx_y.reshape(-1)
+    sign = idx_flat >= n
+    idx = jnp.where(sign, idx_flat - n, idx_flat)
+    px = xs[idx].reshape(rg, lanes, k)
+    py = ys_ext[idx_flat].reshape(rg, lanes, k)
+    px = jnp.transpose(px, (0, 2, 1))
+    py = jnp.transpose(py, (0, 2, 1))
+    return px, py, valid.reshape(rg, lanes).astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _neg_y_ext(spec: FieldSpec, ys):
+    return jnp.concatenate([ys, L.sub_mod(spec, jnp.zeros_like(ys), ys)], axis=0)
+
+
+def _msm_host_planned(curve, plan: MsmPlan, xs, ys, host_plan):
+    """Grouped gather+accumulate driver for host-planned MSMs: fixed-shape
+    compile units regardless of N and round count."""
+    spec = curve.field
+    k = spec.n_limbs
+    lanes = plan.lanes
+    oy_, bs_, be_ = (jnp.asarray(x) for x in host_plan)
+    ys_ext = _neg_y_ext(spec, ys)
+    ax = jnp.zeros((k, lanes), jnp.uint32)
+    ay = jnp.zeros((k, lanes), jnp.uint32)
+    az = jnp.zeros((k, lanes), jnp.uint32)
+    ae = jnp.zeros((8, lanes), jnp.uint32)
+    rg = min(RG_ROUNDS, plan.rounds)
+    for r0 in range(0, plan.rounds, rg):
+        px, py, v = _gather_group(
+            curve, plan, rg, xs, ys_ext, oy_, bs_, be_, jnp.int32(r0)
+        )
+        ax, ay, az, ae = _accum_group(curve, plan, ax, ay, az, ae, px, py, v)
+    return _msm_reduce_stage(curve, plan, ax, ay, az), jnp.sum(ae[0])
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _msm_gather_stage(curve, plan: MsmPlan, xs, ys, order_y, b_start, b_end):
     """Stage 1 (host planning): gathers only — order/starts computed by
@@ -549,12 +663,8 @@ def _msm_fused(curve, plan: MsmPlan, xs, ys, scalars, point_valid,
     `host_plan` = (order_y, b_start, b_end) from _stream_indices_host —
     skips the device sort entirely (its XLA compile stalls at N ~ 10^6)."""
     if host_plan is not None:
-        oy_, bs_, be_ = host_plan
-        px, py, vstream = _msm_gather_stage(
-            curve, plan, xs, ys, jnp.asarray(oy_), jnp.asarray(bs_), jnp.asarray(be_)
-        )
-    else:
-        px, py, vstream = _msm_stream_stage(curve, plan, xs, ys, scalars, point_valid)
+        return _msm_host_planned(curve, plan, xs, ys, host_plan)
+    px, py, vstream = _msm_stream_stage(curve, plan, xs, ys, scalars, point_valid)
     ox, oy, oz, exc = _msm_accum_stage(curve, plan, px, py, vstream)
     return _msm_reduce_stage(curve, plan, ox, oy, oz), jnp.sum(exc)
 
