@@ -606,12 +606,16 @@ def _msm_host_planned(curve, plan: MsmPlan, xs, ys, host_plan):
     az = jnp.zeros((k, lanes), jnp.uint32)
     ae = jnp.zeros((8, lanes), jnp.uint32)
     rg = min(RG_ROUNDS, plan.rounds)
+    # the group/reduce compile keys must NOT vary with the round count —
+    # only the host loop does; otherwise each query's plan (same N, a
+    # different occupancy) would trigger a fresh multi-minute compile
+    gplan = MsmPlan(plan.n_bits, plan.c, plan.n, rg, use_jnp=plan.use_jnp)
     for r0 in range(0, plan.rounds, rg):
         px, py, v = _gather_group(
-            curve, plan, rg, xs, ys_ext, oy_, bs_, be_, jnp.int32(r0)
+            curve, gplan, rg, xs, ys_ext, oy_, bs_, be_, jnp.int32(r0)
         )
-        ax, ay, az, ae = _accum_group(curve, plan, ax, ay, az, ae, px, py, v)
-    return _msm_reduce_stage(curve, plan, ax, ay, az), jnp.sum(ae[0])
+        ax, ay, az, ae = _accum_group(curve, gplan, ax, ay, az, ae, px, py, v)
+    return _msm_reduce_stage(curve, gplan, ax, ay, az), jnp.sum(ae[0])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
