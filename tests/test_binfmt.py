@@ -121,3 +121,28 @@ def test_coset_h_basis_prove_and_zkey_roundtrip(tmp_path):
     )
     proof2 = prove(pk2, r1cs2, wit, seed="cs2")
     assert groth16.verify(vk, proof2, c.public_values)
+
+
+def test_zkey_h_basis_auto_detection(tmp_path):
+    """h_basis='auto' distinguishes natively-written monomial zkeys (section
+    9 padded with a tail infinity point) from coset zkeys (all finite), and
+    a coset read of a monomial file raises instead of misinterpreting."""
+    import pytest
+
+    c = _circuit(6, 7)
+    r1cs, wit = c.compile()
+    pk_m = setup(r1cs, seed="auto-detect", h_basis="monomial")
+    pk_c = setup(r1cs, seed="auto-detect", h_basis="coset")
+    p_m = os.path.join(tmp_path, "m.zkey")
+    p_c = os.path.join(tmp_path, "c.zkey")
+    binfmt.write_zkey(p_m, pk_m, r1cs)
+    binfmt.write_zkey(p_c, pk_c, r1cs)
+
+    pk_m2, _ = binfmt.read_zkey(p_m, h_basis="auto")
+    assert pk_m2.h_basis == "monomial"
+    assert pk_m2.h_query == pk_m.h_query
+    pk_c2, _ = binfmt.read_zkey(p_c, h_basis="auto")
+    assert pk_c2.h_basis == "coset"
+    assert pk_c2.h_query == pk_c.h_query
+    with pytest.raises(ValueError):
+        binfmt.read_zkey(p_m, h_basis="coset")
