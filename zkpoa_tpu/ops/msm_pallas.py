@@ -525,7 +525,7 @@ def _accum_group_kernel(ax, ay, az, ae, px_ref, py_ref, v_ref,
     oe_ref[0] = oe_ref[0] | exc.astype(jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def _accum_group(curve, plan: MsmPlan, ax, ay, az, ae, px, py, vstream):
     """One RG_ROUNDS group of bucket accumulation; acc buffers donated and
     aliased so the state stays in place across groups."""
@@ -610,7 +610,13 @@ def _msm_host_planned(curve, plan: MsmPlan, xs, ys, host_plan):
     # only the host loop does; otherwise each query's plan (same N, a
     # different occupancy) would trigger a fresh multi-minute compile
     gplan = MsmPlan(plan.n_bits, plan.c, plan.n, rg, use_jnp=plan.use_jnp)
+    import os as _os
+    import sys as _sys
+
+    verbose = bool(_os.environ.get("ZKPOA_VERBOSE"))
     for r0 in range(0, plan.rounds, rg):
+        if verbose:
+            print(f"[zkpoa:msm] group r0={r0}/{plan.rounds}", file=_sys.stderr, flush=True)
         px, py, v = _gather_group(
             curve, gplan, rg, xs, ys_ext, oy_, bs_, be_, jnp.int32(r0)
         )
