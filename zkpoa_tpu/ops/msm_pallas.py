@@ -779,6 +779,94 @@ def msm_tpu(
     return res
 
 
+TREE_BLOCK = 8192  # fixed block width of the repeated-scalar tree sum
+HEAVY_COUNT_MIN = 256  # scalar values repeated at least this often split out
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _lane_fold(curve, p):
+    """Sum a [TREE_BLOCK] Jacobian lane array to lane 0 by masked-roll
+    halving on the FIXED shape (one add-kernel compile)."""
+    lanes = jax.tree.leaves(p)[0].shape[0]
+    steps = lanes.bit_length() - 1
+    pos = jnp.arange(lanes, dtype=jnp.int32)
+
+    def body(t, p):
+        sh = lanes >> (t + 1)
+        rolled = _tmap(lambda a: jnp.roll(a, -sh, axis=0), p)
+        keep = pos < sh
+        leaf = jax.tree.leaves(p)[0]
+        inf = curve.infinity((leaf.shape[0],))
+        shifted = _tmap(lambda a, b: jnp.where(keep[..., None], a, b), rolled, inf)
+        return curve.add(p, shifted)
+
+    return jax.lax.fori_loop(0, steps, body, p)
+
+
+def _tree_sum_subset(curve, xs, ys, idx_np: np.ndarray):
+    """Exact sum of points[idx] via fixed-width blocked adds + one lane
+    fold: every compile unit has shape [TREE_BLOCK] regardless of subset
+    size. Returns a host affine point (None = infinity)."""
+    b = TREE_BLOCK
+    n_idx = len(idx_np)
+    pad = (-n_idx) % b
+    idx = np.concatenate([idx_np.astype(np.int64), np.full(pad, -1, np.int64)])
+    acc = curve.infinity((b,))
+    for off in range(0, len(idx), b):
+        blk = idx[off : off + b]
+        valid = jnp.asarray(blk >= 0)
+        safe = jnp.asarray(np.maximum(blk, 0))
+        xg = _tmap(lambda a: a[safe], xs)
+        yg = _tmap(lambda a: a[safe], ys)
+        acc = curve.add_affine(acc, xg, yg, valid)
+    folded = _lane_fold(curve, acc)
+    one = _tmap(lambda a: a[:1], folded)
+    return curve.decode_jac(one)[0]
+
+
+def msm_tpu_heavy_split(curve, query, scalars_limbs: np.ndarray, host_add,
+                        host_mul, c: Optional[int] = None,
+                        use_tree: bool = False):
+    """Witness-grade MSM: scalar VALUES repeated >= HEAVY_COUNT_MIN times
+    (about half of all circuit wires hold bit values, so the value 1 shows
+    up ~10^6 times) would each pile into a single Pippenger bucket and
+    blow the round bound to the repeat count (observed: 647k rounds at
+    N = 1.6M). Heavy values are split out and tree-summed at fixed shapes;
+    the rest goes through the normal host-planned kernel. `query` is a
+    DeviceG1Points-like object (xs, ys, valid). Returns a host affine
+    point."""
+    pv = np.asarray(query.valid)
+    n = scalars_limbs.shape[0]
+    uniq, inverse, counts = np.unique(
+        scalars_limbs, axis=0, return_inverse=True, return_counts=True
+    )
+    heavy = np.where(counts >= HEAVY_COUNT_MIN)[0]
+    main_mask = pv.copy()
+    extra = None
+    for u in heavy:
+        val = 0
+        for j in range(uniq.shape[1] - 1, -1, -1):
+            val = (val << LIMB_BITS) | int(uniq[u, j])
+        if val == 0:
+            continue  # zero scalars are already free (digit 0)
+        sel = np.where((inverse == u) & pv)[0]
+        main_mask[sel] = False
+        ssum = _tree_sum_subset(curve, query.xs, query.ys, sel)
+        if ssum is not None:
+            contrib = host_mul(ssum, val) if val != 1 else ssum
+            extra = host_add(extra, contrib) if extra is not None else contrib
+    if c is None:
+        c = auto_c(n)
+    plan = plan_msm(scalars_limbs, 254, c, main_mask)
+    msm_fn = msm_tpu_tree if use_tree else msm_tpu
+    res = msm_fn(curve, query.xs, query.ys, scalars_limbs,
+                 point_valid=jnp.asarray(main_mask), plan=plan)
+    out = curve.decode_jac(_tmap(lambda a: a[None], res))[0]
+    if extra is not None:
+        out = host_add(out, extra) if out is not None else extra
+    return out
+
+
 def msm_tpu_tree(
     curve,
     xs,

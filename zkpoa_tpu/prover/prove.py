@@ -117,38 +117,32 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
     w = [int(x) % R for x in witness]
     w_limbs = M2.scalars_to_limbs_fast(w)
 
-    c_w = M2.auto_c(len(w))
+    # witness MSMs: repeated scalar values (wires holding bits etc.) are
+    # split out and tree-summed — they would otherwise set the Pippenger
+    # round bound to their repeat count (observed 647k rounds at 1.6M
+    # wires from the ~650k bit-valued wires)
     _vlog("a-query MSM")
-    plan_w = M2.plan_msm(w_limbs, 254, c_w, np.asarray(pk.a_query.valid))
-    a_acc_d = M2.msm_tpu(BN254_G1, pk.a_query.xs, pk.a_query.ys, w_limbs,
-                         point_valid=pk.a_query.valid, plan=plan_w)
+    a_acc = M2.msm_tpu_heavy_split(
+        BN254_G1, pk.a_query, w_limbs, bn254.g1_add, bn254.g1_mul)
     _vlog("b1-query MSM")
-    plan_b1 = M2.plan_msm(w_limbs, 254, c_w, np.asarray(pk.b1_query.valid))
-    b1_acc_d = M2.msm_tpu(BN254_G1, pk.b1_query.xs, pk.b1_query.ys, w_limbs,
-                          point_valid=pk.b1_query.valid, plan=plan_b1)
+    b1_acc = M2.msm_tpu_heavy_split(
+        BN254_G1, pk.b1_query, w_limbs, bn254.g1_add, bn254.g1_mul)
     _vlog("c-query MSM")
-    plan_c = M2.plan_msm(w_limbs[pk.n_public + 1 :], 254,
-                         M2.auto_c(len(pk.c_query)), np.asarray(pk.c_query.valid))
-    c_acc_d = M2.msm_tpu(BN254_G1, pk.c_query.xs, pk.c_query.ys,
-                         w_limbs[pk.n_public + 1 :],
-                         point_valid=pk.c_query.valid, plan=plan_c)
+    c_acc = M2.msm_tpu_heavy_split(
+        BN254_G1, pk.c_query, w_limbs[pk.n_public + 1 :],
+        bn254.g1_add, bn254.g1_mul)
     _vlog("h-query MSM")
     plan_h = M2.plan_msm(h_limbs, 254, M2.auto_c(len(pk.h_query)),
                          np.asarray(pk.h_query.valid))
     h_acc_d = M2.msm_tpu(BN254_G1, pk.h_query.xs, pk.h_query.ys, h_limbs,
                          point_valid=pk.h_query.valid, plan=plan_h)
     _vlog("b2-query G2 MSM")
-    plan_b2 = M2.plan_msm(w_limbs, 254, c_w, np.asarray(pk.b2_query.valid))
-    b2_acc_d = M2.msm_tpu_tree(BN254_G2, pk.b2_query.xs, pk.b2_query.ys,
-                               w_limbs, point_valid=pk.b2_query.valid,
-                               plan=plan_b2)
+    b2_acc = M2.msm_tpu_heavy_split(
+        BN254_G2, pk.b2_query, w_limbs, bn254.g2_add, bn254.g2_mul,
+        use_tree=True)
 
     _vlog("decode proof points")
-    a_acc = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], a_acc_d))[0]
-    b1_acc = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], b1_acc_d))[0]
-    c_acc = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], c_acc_d))[0]
     h_acc = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], h_acc_d))[0]
-    b2_acc = BN254_G2.decode_jac(jax.tree.map(lambda a: a[None], b2_acc_d))[0]
     return _assemble_proof(pk, a_acc, b1_acc, c_acc, h_acc, b2_acc, r, s)
 
 
