@@ -178,6 +178,12 @@ def run_workflow(
                 san1 = sanitize(vk1, proof1, c1.public_values)
                 with open(os.path.join(bdir, "layer_one_sanitized_proof.json"), "w") as f:
                     json.dump(san1, f)
+                # release the layer-1 device key: only its vk_json is needed
+                # downstream, and the multi-GB HBM query tables must not
+                # stay alive through the (larger) layer-2 setup/prove
+                pk1_vk_json = pk1.vk_json
+                pk1 = None
+                c1 = r1 = w1 = None
 
         with Stage(timings, f"layer2 prove batch {bi}"):
             batch_proofs = [proofs[start + j] for j in range(len(batch))]
@@ -191,7 +197,7 @@ def run_workflow(
                 if mode == "recursive":
                     from ..models.gadgets.pairing_gadget import PreparedVK
 
-                    inner_vk1 = _prepared_vk_cached(pk1.vk_json, PreparedVK)
+                    inner_vk1 = _prepared_vk_cached(pk1_vk_json, PreparedVK)
                 c2 = layer_two_circuit(inp2, tree_height=height, inner_vk=inner_vk1)
             else:
                 accounts = [
@@ -221,9 +227,11 @@ def run_workflow(
             _write_proof(bdir, "layer_two", proof2, c2.public_values, pk2.vk_json)
             l2_sanitized.append(sanitize(vk2, proof2, c2.public_values))
             l2_vk_jsons.append(pk2.vk_json)
+            batch_balance_sums.append(c2.public_values[0])
+            pk2 = None  # release the layer-2 device key (HBM)
+            c2 = r2 = w2 = None
             with open(os.path.join(bdir, "layer_two_sanitized_proof.json"), "w") as f:
                 json.dump(l2_sanitized[-1], f)
-            batch_balance_sums.append(c2.public_values[0])
 
     # -- layer 3: aggregation + Pedersen commitment -----------------------
     # full mode proves the in-circuit Pedersen commitment (~700k
