@@ -111,8 +111,10 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
         h_dev = BN254_FR.from_mont(coset_qap_evals(a_m, b_m, c_m))
     # fetch the h operand for HOST stream planning (the device-sort
     # program takes ~10 minutes to compile at N ~ 10^6; numpy plans the
-    # whole stream in seconds)
+    # whole stream in seconds) — and drop the device-side QAP arrays:
+    # at an 8M domain they hold ~2GB of HBM the MSMs need
     h_limbs = np.asarray(h_dev)
+    del h_dev, a_m, b_m, c_m
 
     w = [int(x) % R for x in witness]
     w_limbs = M2.scalars_to_limbs_fast(w)
