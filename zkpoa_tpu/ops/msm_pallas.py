@@ -837,6 +837,10 @@ def msm_tpu_heavy_split(curve, query, scalars_limbs: np.ndarray, host_add,
     point."""
     pv = np.asarray(query.valid)
     n = scalars_limbs.shape[0]
+    # upload host-spilled query tables ONCE for this MSM (no-op when the
+    # key is already device-resident); freed when this function returns
+    q_xs = jax.tree.map(jnp.asarray, query.xs)
+    q_ys = jax.tree.map(jnp.asarray, query.ys)
     uniq, inverse, counts = np.unique(
         scalars_limbs, axis=0, return_inverse=True, return_counts=True
     )
@@ -851,7 +855,7 @@ def msm_tpu_heavy_split(curve, query, scalars_limbs: np.ndarray, host_add,
             continue  # zero scalars are already free (digit 0)
         sel = np.where((inverse == u) & pv)[0]
         main_mask[sel] = False
-        ssum = _tree_sum_subset(curve, query.xs, query.ys, sel)
+        ssum = _tree_sum_subset(curve, q_xs, q_ys, sel)
         if ssum is not None:
             contrib = host_mul(ssum, val) if val != 1 else ssum
             extra = host_add(extra, contrib) if extra is not None else contrib
@@ -859,7 +863,7 @@ def msm_tpu_heavy_split(curve, query, scalars_limbs: np.ndarray, host_add,
         c = auto_c(n)
     plan = plan_msm(scalars_limbs, 254, c, main_mask)
     msm_fn = msm_tpu_tree if use_tree else msm_tpu
-    res = msm_fn(curve, query.xs, query.ys, scalars_limbs,
+    res = msm_fn(curve, q_xs, q_ys, scalars_limbs,
                  point_valid=jnp.asarray(main_mask), plan=plan)
     out = curve.decode_jac(_tmap(lambda a: a[None], res))[0]
     if extra is not None:

@@ -136,8 +136,10 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
     _vlog("h-query MSM")
     plan_h = M2.plan_msm(h_limbs, 254, M2.auto_c(len(pk.h_query)),
                          np.asarray(pk.h_query.valid))
-    h_acc_d = M2.msm_tpu(BN254_G1, pk.h_query.xs, pk.h_query.ys, h_limbs,
-                         point_valid=pk.h_query.valid, plan=plan_h)
+    h_xs = jnp.asarray(pk.h_query.xs)
+    h_ys = jnp.asarray(pk.h_query.ys)
+    h_acc_d = M2.msm_tpu(BN254_G1, h_xs, h_ys, h_limbs,
+                         point_valid=jnp.asarray(pk.h_query.valid), plan=plan_h)
     _vlog("b2-query G2 MSM")
     b2_acc = M2.msm_tpu_heavy_split(
         BN254_G2, pk.b2_query, w_limbs, bn254.g2_add, bn254.g2_mul,
@@ -145,6 +147,7 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
 
     _vlog("decode proof points")
     h_acc = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], h_acc_d))[0]
+    del h_acc_d, h_xs, h_ys
     return _assemble_proof(pk, a_acc, b1_acc, c_acc, h_acc, b2_acc, r, s)
 
 

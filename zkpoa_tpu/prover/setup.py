@@ -98,9 +98,11 @@ def _g1_points_from_scalars(scalars: Sequence[int]) -> List:
 
 
 class DeviceG1Points:
-    """Device-resident G1 query table: Montgomery affine limb arrays.
-    Replaces host affine int lists for multi-million-point keys (per-point
-    host decode would take hours; these never leave HBM)."""
+    """G1 query table as Montgomery affine limb arrays — device-resident
+    (jnp) for mid-size keys, host-resident (numpy, spilled) for keys too
+    big to keep in HBM alongside the prove operands (the usable HBM through
+    this tunnel is ~7.5GB; a 7.2M-wire key alone is ~5.6GB). Replaces host
+    affine int lists in either case (per-point decode would take hours)."""
 
     def __init__(self, xs, ys, valid):
         self.xs = xs
@@ -109,6 +111,12 @@ class DeviceG1Points:
 
     def __len__(self):
         return int(self.xs.shape[0])
+
+    def spilled(self) -> "DeviceG1Points":
+        """Fetch to host numpy (frees the HBM copy once refs drop)."""
+        return DeviceG1Points(
+            np.asarray(self.xs), np.asarray(self.ys), np.asarray(self.valid)
+        )
 
     def to_host(self) -> List:
         """Affine int tuples (None = infinity) — small keys only."""
@@ -122,7 +130,8 @@ class DeviceG1Points:
 
 
 class DeviceG2Points:
-    """Device-resident G2 query table (Fp2 coordinate pairs)."""
+    """G2 query table (Fp2 coordinate pairs); see DeviceG1Points on
+    device- vs host-residency."""
 
     def __init__(self, xs, ys, valid):
         self.xs = xs  # (c0, c1) limb arrays
@@ -132,8 +141,15 @@ class DeviceG2Points:
     def __len__(self):
         return int(self.xs[0].shape[0])
 
+    def spilled(self) -> "DeviceG2Points":
+        t = lambda tr: jax.tree.map(np.asarray, tr)  # noqa: E731
+        return DeviceG2Points(t(self.xs), t(self.ys), np.asarray(self.valid))
+
 
 SETUP_CHUNK = 1 << 19  # fixed-base generation chunk (compile reuse + HBM)
+HOST_SPILL_MIN_VARS = 3_000_000  # keys above this spill query tables to
+# host RAM (prove uploads each query just-in-time): the full key would not
+# fit HBM next to the prove operands
 
 
 def _vlog(msg: str) -> None:
@@ -144,9 +160,10 @@ def _vlog(msg: str) -> None:
         print(f"[zkpoa:setup] {msg}", file=sys.stderr, flush=True)
 
 
-def _g1_query_device(scalars_limbs: np.ndarray) -> DeviceG1Points:
-    """[k_i * G1] as device-resident Montgomery affine arrays, chunked
-    fixed-base + one Fermat batch inversion per chunk."""
+def _g1_query_device(scalars_limbs: np.ndarray, spill: bool = False) -> DeviceG1Points:
+    """[k_i * G1] as Montgomery affine arrays, chunked fixed-base + one
+    Fermat batch inversion per chunk. With spill=True each chunk is fetched
+    to host numpy as it completes, so HBM never holds the whole table."""
     n = scalars_limbs.shape[0]
     xs_parts, ys_parts, val_parts = [], [], []
     for off in range(0, n, SETUP_CHUNK):
@@ -163,17 +180,19 @@ def _g1_query_device(scalars_limbs: np.ndarray) -> DeviceG1Points:
         )
         xs, ys, valid = curve_jax.jac_to_affine_mont(BN254_G1.field, jac)
         m = len(chunk)
-        xs_parts.append(xs[:m])
-        ys_parts.append(ys[:m])
-        val_parts.append(valid[:m])
-    return DeviceG1Points(
-        jnp.concatenate(xs_parts),
-        jnp.concatenate(ys_parts),
-        jnp.concatenate(val_parts),
-    )
+        if spill:
+            xs_parts.append(np.asarray(xs[:m]))
+            ys_parts.append(np.asarray(ys[:m]))
+            val_parts.append(np.asarray(valid[:m]))
+        else:
+            xs_parts.append(xs[:m])
+            ys_parts.append(ys[:m])
+            val_parts.append(valid[:m])
+    cat = np.concatenate if spill else jnp.concatenate
+    return DeviceG1Points(cat(xs_parts), cat(ys_parts), cat(val_parts))
 
 
-def _g2_query_device(scalars_limbs: np.ndarray) -> DeviceG2Points:
+def _g2_query_device(scalars_limbs: np.ndarray, spill: bool = False) -> DeviceG2Points:
     from ..ops.fp2_jax import g2_jac_to_affine_mont
 
     n = scalars_limbs.shape[0]
@@ -192,11 +211,13 @@ def _g2_query_device(scalars_limbs: np.ndarray) -> DeviceG2Points:
         )
         xs, ys, valid = g2_jac_to_affine_mont(jac)
         m = len(chunk)
-        xs_parts.append(jax.tree.map(lambda a: a[:m], xs))
-        ys_parts.append(jax.tree.map(lambda a: a[:m], ys))
-        val_parts.append(valid[:m])
-    cat = lambda parts: jax.tree.map(lambda *a: jnp.concatenate(a), *parts)  # noqa: E731
-    return DeviceG2Points(cat(xs_parts), cat(ys_parts), jnp.concatenate(val_parts))
+        grab = (lambda a: np.asarray(a[:m])) if spill else (lambda a: a[:m])
+        xs_parts.append(jax.tree.map(grab, xs))
+        ys_parts.append(jax.tree.map(grab, ys))
+        val_parts.append(grab(valid))
+    catf = np.concatenate if spill else jnp.concatenate
+    cat = lambda parts: jax.tree.map(lambda *a: catf(a), *parts)  # noqa: E731
+    return DeviceG2Points(cat(xs_parts), cat(ys_parts), catf(val_parts))
 
 
 def _g2_points_from_scalars(scalars: Sequence[int]) -> List:
@@ -399,16 +420,19 @@ def setup_device(
     c_scalars, h_scalars, ic_scalars = s["c_scalars"], s["h_scalars"], s["ic_scalars"]
     alpha, beta, gamma, delta = s["alpha"], s["beta"], s["gamma"], s["delta"]
 
+    spill = n_vars > HOST_SPILL_MIN_VARS
+    if spill:
+        _vlog("setup_device: key exceeds HBM budget — spilling to host RAM")
     _vlog("setup_device: a_query")
-    a_query = _g1_query_device(scalars_to_limbs_fast(a_t))
+    a_query = _g1_query_device(scalars_to_limbs_fast(a_t), spill)
     _vlog("setup_device: b1_query")
-    b1_query = _g1_query_device(scalars_to_limbs_fast(b_t))
+    b1_query = _g1_query_device(scalars_to_limbs_fast(b_t), spill)
     _vlog("setup_device: c_query")
-    c_query = _g1_query_device(scalars_to_limbs_fast(c_scalars))
+    c_query = _g1_query_device(scalars_to_limbs_fast(c_scalars), spill)
     _vlog("setup_device: h_query")
-    h_query = _g1_query_device(scalars_to_limbs_fast(h_scalars))
+    h_query = _g1_query_device(scalars_to_limbs_fast(h_scalars), spill)
     _vlog("setup_device: b2_query (G2)")
-    b2_query = _g2_query_device(scalars_to_limbs_fast(b_t))
+    b2_query = _g2_query_device(scalars_to_limbs_fast(b_t), spill)
     _vlog("setup_device: done")
 
     small = _g1_points_from_scalars(ic_scalars + [alpha, beta, delta])
