@@ -42,8 +42,8 @@ def test_signed_digit_recoding_reconstructs(c):
             if sl == 0:
                 continue
             if w == plan.nw - 1 and plan.spread > 1:
-                d = ((sl - 1) % plan.range_top) + 1
-                assert (sl - 1) // plan.range_top == i % plan.spread
+                d = ((sl - 1) % plan.top_stride) + 1
+                assert (sl - 1) // plan.top_stride == i % plan.spread
             else:
                 d = sl
                 assert d <= plan.nb

@@ -45,3 +45,21 @@ def test_device_points_to_host_roundtrip():
     pk = setup_device(r1cs, seed="devtest")
     pk_h = setup(r1cs, seed="devtest")
     assert pk.a_query.to_host() == pk_h.a_query
+
+
+@pytest.mark.parametrize("basis", ["monomial", "coset"])
+def test_device_pipeline_blocked_quotient(basis, monkeypatch):
+    """Force the blocked four-step quotient path (the recursion-scale HBM
+    fix) through _prove_device; proofs must stay byte-identical."""
+    from zkpoa_tpu.ops import ntt_blocked as NB
+    import zkpoa_tpu.prover.prove as PV
+
+    r1cs, wit = _toy_circuit()
+    pk = setup_device(r1cs, seed="devtest", h_basis=basis)
+    proof_mono = prove(pk, r1cs, wit, seed="p1")
+    monkeypatch.setattr(NB, "BLOCKED_MIN_LOG_N", 1)
+    monkeypatch.setattr(NB, "BLOCK_TARGET_BYTES", 8 * 16 * 4)
+    proof_blk = prove(pk, r1cs, wit, seed="p1")
+    assert proof_blk.pi_a == proof_mono.pi_a
+    assert proof_blk.pi_b == proof_mono.pi_b
+    assert proof_blk.pi_c == proof_mono.pi_c

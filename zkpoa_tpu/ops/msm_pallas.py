@@ -13,8 +13,13 @@ rounds while the whole bucket array stays resident in VMEM:
     it the global round count — would be ~2^(c-1-top_bits) times worse
     than the body windows (measured 2048 vs ~40 rounds at N=2^17, c=13 in
     the old kernel). The top window's points are spread round-robin over
-    `spread = nb / range_top` bucket aliases, folded back before the
-    weighted reduction. This keeps ALL windows' occupancy ~N/2^(c-1).
+    `spread = nb / 2^rem` bucket aliases at stride 2^rem (the number of
+    NONZERO top digit values — a power of two, so every bucket is used
+    and the halving fold stays power-of-two), folded back before the
+    weighted reduction. This keeps ALL windows' occupancy ~N/2^(c-1)
+    (round-2's stride of 2^rem+1 quantized the spread down 2× and left
+    a dead zero-digit slot — the top window ran ~2× more rounds than the
+    body and set the global bound).
   * conflict-free rounds: per window, points are argsorted by bucket slot;
     round r adds the r-th point of every (window, bucket) run at once. The
     per-round point stream is pre-gathered by XLA into [R, K, L] (limb-
@@ -76,8 +81,10 @@ class MsmPlan:
         self.nw = (n_bits + c - 1) // c
         rem = n_bits - c * (self.nw - 1)
         self.range_top = (1 << rem) + 1  # top |digit| in [0, 2^rem]
-        spread = self.nb // self.range_top
-        self.spread = 1 << max(spread.bit_length() - 1, 0) if spread >= 1 else 1
+        # nonzero top digits d have (d-1) in [0, 2^rem) — 2^rem slots, a
+        # power of two: aliases tile the full bucket range at this stride
+        self.top_stride = 1 << rem
+        self.spread = max(self.nb // self.top_stride, 1)
         self.rounds = rounds
         self.lanes = self.nw * self.nb
 
@@ -119,7 +126,7 @@ def _digits_signed_np(scalars_limbs: np.ndarray, plan: MsmPlan):
     if plan.spread > 1:
         chunk = np.arange(n, dtype=np.int64) % plan.spread
         w = nw - 1
-        slots[w] = np.where(slots[w] > 0, slots[w] + plan.range_top * chunk, 0)
+        slots[w] = np.where(slots[w] > 0, slots[w] + plan.top_stride * chunk, 0)
     return slots, signs
 
 
@@ -180,7 +187,7 @@ def _digits_signed_jnp(scalars: jnp.ndarray, plan: MsmPlan):
 
     _, (slots, signs) = jax.lax.scan(step, jnp.zeros((n,), jnp.int32), words)
     if plan.spread > 1:
-        chunk = (jnp.arange(n, dtype=jnp.int32) % plan.spread) * plan.range_top
+        chunk = (jnp.arange(n, dtype=jnp.int32) % plan.spread) * plan.top_stride
         top = slots[nw - 1]
         slots = slots.at[nw - 1].set(jnp.where(top > 0, top + chunk, 0))
     return slots, signs
@@ -375,12 +382,12 @@ def _masked_roll_add(curve, p, shift, keep_mask):
 def _weighted_reduce(curve, buckets, plan: MsmPlan):
     """buckets: Jacobian pytree with leaves [nw, nb, K]; bucket j of window
     w holds the sum of points with |digit| == j+1 (top window: slot layout
-    (|d|-1) + range_top*chunk, chunk < spread). Returns the combined MSM
+    (|d|-1) + top_stride*chunk, chunk < spread). Returns the combined MSM
     result (leaves [K]) including the 2^(c*w) window weighting (Horner)."""
     nw, nb, c = plan.nw, plan.nb, plan.c
     bpos = jnp.arange(nb, dtype=jnp.int32)[None, :]
 
-    # fold the top window's spread aliases back onto slots [0, range_top):
+    # fold the top window's spread aliases back onto slots [0, top_stride):
     # log2(spread) masked-roll halvings on the fixed [1, nb] shape.
     if plan.spread > 1:
         top = _tmap(lambda a: a[nw - 1 : nw], buckets)
@@ -388,7 +395,7 @@ def _weighted_reduce(curve, buckets, plan: MsmPlan):
         s = plan.spread
         while s > 1:
             s //= 2
-            shifts.append(s * plan.range_top)
+            shifts.append(s * plan.top_stride)
         shifts_arr = jnp.asarray(shifts, dtype=jnp.int32)
 
         def fold_body(t, p):
@@ -397,9 +404,9 @@ def _weighted_reduce(curve, buckets, plan: MsmPlan):
             return _masked_roll_add(curve, p, sh, keep)
 
         top = jax.lax.fori_loop(0, len(shifts), fold_body, top)
-        # slots >= range_top still hold the stale pre-fold partial sums —
+        # slots >= top_stride still hold the stale pre-fold partial sums —
         # clear them to infinity (z = 0) or the weighted scan would count them
-        keep_final = (bpos < plan.range_top)[..., None]
+        keep_final = (bpos < plan.top_stride)[..., None]
         top = _tmap(lambda a: jnp.where(keep_final, a, jnp.zeros_like(a)), top)
         buckets = _tmap(
             lambda a, t: jnp.concatenate([a[: nw - 1], t], axis=0), buckets, top
