@@ -63,3 +63,26 @@ def test_device_pipeline_blocked_quotient(basis, monkeypatch):
     assert proof_blk.pi_a == proof_mono.pi_a
     assert proof_blk.pi_b == proof_mono.pi_b
     assert proof_blk.pi_c == proof_mono.pi_c
+
+
+def test_device_key_disk_cache(tmp_path, monkeypatch):
+    """cached_setup persists device keys (.dpk npz + meta); a reloaded key
+    proves byte-identically and skips setup entirely."""
+    import zkpoa_tpu.prover.cache as cache
+    import zkpoa_tpu.prover.setup as setup_mod
+
+    monkeypatch.setattr(cache, "DEVICE_SETUP_MIN_CONSTRAINTS", 1)
+    r1cs, wit = _toy_circuit()
+    pk = cache.cached_setup(r1cs, str(tmp_path), "toy", seed="devtest")
+    assert isinstance(pk.a_query, DeviceG1Points)
+    proof = prove(pk, r1cs, wit, seed="p1")
+
+    calls = []
+    monkeypatch.setattr(
+        cache, "setup_device",
+        lambda *a, **k: calls.append(1) or setup_mod.setup_device(*a, **k),
+    )
+    pk2 = cache.cached_setup(r1cs, str(tmp_path), "toy", seed="devtest")
+    assert not calls, "cache hit must not re-run setup"
+    proof2 = prove(pk2, r1cs, wit, seed="p1")
+    assert (proof.pi_a, proof.pi_b, proof.pi_c) == (proof2.pi_a, proof2.pi_b, proof2.pi_c)

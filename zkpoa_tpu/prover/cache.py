@@ -10,16 +10,18 @@ seed; the cache stores (seed, shape) so a changed circuit invalidates."""
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import pickle
 from typing import Optional
 
+import numpy as np
+
 from ..models.r1cs import R1CS
-from .setup import ProvingKey, setup, setup_device
+from .setup import DeviceG1Points, DeviceG2Points, ProvingKey, setup, setup_device
 
 # circuits above this size use the device-resident setup (HBM query tables,
-# no per-point host decode); such keys are not disk-cached — regenerating is
-# minutes, while fetching multi-GB tables through the host link is slower.
+# no per-point host decode)
 DEVICE_SETUP_MIN_CONSTRAINTS = 300_000
 
 
@@ -45,7 +47,16 @@ def cached_setup(
     size-encoded key name (reference convention), e.g.
     'layer_two_2_sigs_12_height'."""
     if r1cs.n_constraints > DEVICE_SETUP_MIN_CONSTRAINTS:
-        return setup_device(r1cs, seed=seed)
+        if cache_dir is None:
+            return setup_device(r1cs, seed=seed)
+        os.makedirs(cache_dir, exist_ok=True)
+        digest = _shape_digest(r1cs, seed)
+        path = os.path.join(cache_dir, f"{name}.{digest}.dpk")
+        if os.path.exists(path + ".npz"):
+            return _load_device_pk(path)
+        pk = setup_device(r1cs, seed=seed)
+        _save_device_pk(path, pk)
+        return pk
     if cache_dir is None:
         return setup(r1cs, seed=seed)
     os.makedirs(cache_dir, exist_ok=True)
@@ -60,3 +71,58 @@ def cached_setup(
         pickle.dump(pk, f, protocol=pickle.HIGHEST_PROTOCOL)
     os.replace(tmp, path)
     return pk
+
+
+def _save_device_pk(path: str, pk: ProvingKey) -> None:
+    """Persist a device-resident key: the multi-GB query tables as one
+    uncompressed .npz (host-spilled Montgomery limb arrays — disk reads
+    are far cheaper than re-running the host QAP scalar math + fixed-base
+    generation, VERDICT r2 item 3: 1,183s layer-1 dominated by setup),
+    plus a small pickle for the host-side points/vk/meta."""
+    arrays = {}
+    for qn in ("a_query", "b1_query", "c_query", "h_query"):
+        q = getattr(pk, qn).spilled()
+        arrays[f"{qn}_xs"] = q.xs
+        arrays[f"{qn}_ys"] = q.ys
+        arrays[f"{qn}_valid"] = q.valid
+    b2 = pk.b2_query.spilled()
+    arrays["b2_xs_c0"], arrays["b2_xs_c1"] = b2.xs
+    arrays["b2_ys_c0"], arrays["b2_ys_c1"] = b2.ys
+    arrays["b2_valid"] = b2.valid
+    tmp = path + ".npz.tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    meta = {
+        k: getattr(pk, k)
+        for k in ("n_vars", "n_public", "domain_size", "alpha1", "beta1",
+                  "delta1", "beta2", "delta2", "vk_json", "h_basis")
+    }
+    with open(path + ".meta.tmp", "wb") as f:
+        pickle.dump(meta, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path + ".npz")
+    os.replace(path + ".meta.tmp", path + ".meta")
+
+
+def _load_device_pk(path: str) -> ProvingKey:
+    """Load a persisted device key as host-spilled arrays (the prover
+    uploads each query table just-in-time per MSM)."""
+    z = np.load(path + ".npz")
+    with open(path + ".meta", "rb") as f:
+        meta = pickle.load(f)
+
+    def g1(qn):
+        return DeviceG1Points(z[f"{qn}_xs"], z[f"{qn}_ys"], z[f"{qn}_valid"])
+
+    b2 = DeviceG2Points(
+        (z["b2_xs_c0"], z["b2_xs_c1"]),
+        (z["b2_ys_c0"], z["b2_ys_c1"]),
+        z["b2_valid"],
+    )
+    return ProvingKey(
+        a_query=g1("a_query"),
+        b1_query=g1("b1_query"),
+        c_query=g1("c_query"),
+        h_query=g1("h_query"),
+        b2_query=b2,
+        **meta,
+    )
