@@ -50,23 +50,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def batch_jac_to_affine(xs_i, ys_i, zs_i, p):
-    """Host Montgomery batch inversion: Jacobian int coords -> affine."""
-    n = len(zs_i)
-    prefix = [1] * (n + 1)
-    for i, z in enumerate(zs_i):
-        prefix[i + 1] = prefix[i] * z % p
-    inv = pow(prefix[n], -1, p)
-    zinvs = [0] * n
-    for i in range(n - 1, -1, -1):
-        zinvs[i] = prefix[i] * inv % p
-        inv = inv * zs_i[i] % p
-    ax, ay = [0] * n, [0] * n
-    for i in range(n):
-        zi2 = zinvs[i] * zinvs[i] % p
-        ax[i] = xs_i[i] * zi2 % p
-        ay[i] = ys_i[i] * zi2 % p * zinvs[i] % p
-    return ax, ay
+GEN_CHUNK = 1 << 18  # fixed-base generation chunk (compile reuse)
 
 
 def main():
@@ -75,28 +59,24 @@ def main():
     n = 1 << log_n
     rng = np.random.default_rng(0)
 
-    # --- setup (untimed): n points P_i = g_i * G via device fixed-base ----
+    # --- setup (untimed): n points P_i = g_i * G, generated AND converted
+    # to Montgomery affine entirely on device (no host point decode)
     t0 = time.perf_counter()
     gen_scalars = [int(x) for x in rng.integers(1, 2**63, size=n, dtype=np.uint64)]
-    sc_gen = jnp.asarray(msm_mod.scalars_to_limbs(gen_scalars))
-    pts_jac = curve_jax.fixed_base_mul_batch(
-        BN254_G1, "bn254_g1", bn254.G1_GEN, bn254.g1_add, sc_gen, 64
-    )
-    spec = BN254_G1.field
-    coords = [spec.from_limbs(np.asarray(spec.from_mont(pc))) for pc in pts_jac]
-    log(f"fixed-base gen + fetch: {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    ax, ay = batch_jac_to_affine(
-        [int(v) for v in coords[0]],
-        [int(v) for v in coords[1]],
-        [int(v) for v in coords[2]],
-        bn254.P,
-    )
-    xs = jnp.asarray(spec.to_limbs(ax))
-    ys = jnp.asarray(spec.to_limbs(ay))
-    xs = spec.to_mont(xs)
-    ys = spec.to_mont(ys)
-    log(f"host batch-affine + re-encode: {time.perf_counter() - t0:.1f}s")
+    sc_gen = M2.scalars_to_limbs_fast(gen_scalars)
+    xs_parts, ys_parts = [], []
+    for off in range(0, n, GEN_CHUNK):
+        chunk = jnp.asarray(sc_gen[off : off + GEN_CHUNK])
+        jac = curve_jax.fixed_base_mul_batch(
+            BN254_G1, "bn254_g1", bn254.G1_GEN, bn254.g1_add, chunk, 64
+        )
+        cx, cy, _ = curve_jax.jac_to_affine_mont(BN254_G1.field, jac)
+        xs_parts.append(cx)
+        ys_parts.append(cy)
+    xs = jnp.concatenate(xs_parts) if len(xs_parts) > 1 else xs_parts[0]
+    ys = jnp.concatenate(ys_parts) if len(ys_parts) > 1 else ys_parts[0]
+    xs.block_until_ready()
+    log(f"fixed-base gen + device affine: {time.perf_counter() - t0:.1f}s")
 
     n_sets = 4
     scalar_sets = []
@@ -105,7 +85,7 @@ def main():
     )
     for i in range(n_sets):
         scalar_sets.append(np.roll(sc0, i))
-    sc_limbs = [msm_mod.scalars_to_limbs(list(s)) for s in scalar_sets]
+    sc_limbs = [M2.scalars_to_limbs_fast(list(s)) for s in scalar_sets]
 
     # one shared plan (max static rounds over all sets -> one compile)
     plans = [M2.plan_msm(s, 254, c) for s in sc_limbs]
@@ -113,7 +93,6 @@ def main():
     plan = M2.MsmPlan(254, c, n, rounds)
     log(f"plan: c={c} nw={plan.nw} nb={plan.nb} lanes={plan.lanes} rounds={rounds}")
 
-    sc_dev = [jnp.asarray(s) for s in sc_limbs]
     valid = jnp.ones((n,), dtype=bool)
 
     def run(i):

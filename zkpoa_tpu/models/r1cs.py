@@ -87,6 +87,52 @@ def _lc(x: AnyLC) -> LC:
 
 
 @dataclass
+class PackedMatrix:
+    """One sparse matrix as parallel int32 numpy arrays (constraint index,
+    wire index, coefficient-pool id) — ~20x smaller than tuple rows and
+    directly consumable by the device SpMV (ops/qap_eval.py)."""
+
+    idx: "np.ndarray"
+    wire: "np.ndarray"
+    cid: "np.ndarray"
+
+
+@dataclass
+class PackedR1CS:
+    """Dictionary-encoded constraint system: the row coefficients live in
+    a (small) shared pool — gadget coefficients are structural constants
+    (±1, powers of two, round constants), so distinct values number in the
+    thousands even at tens of millions of rows."""
+
+    a: PackedMatrix
+    b: PackedMatrix
+    c: PackedMatrix
+    pool_limbs: "np.ndarray"  # [n_pool, K] plain 16-bit limbs
+    n_wires: int
+    n_public: int
+    n_constraints: int
+
+
+def _pack_rows(rows, pool: dict, pool_vals: list) -> PackedMatrix:
+    import numpy as np
+
+    m = len(rows)
+    idx = np.empty(m, np.int32)
+    wire = np.empty(m, np.int32)
+    cid = np.empty(m, np.int32)
+    for t, (i, w, c) in enumerate(rows):
+        idx[t] = i
+        wire[t] = w
+        j = pool.get(c)
+        if j is None:
+            j = len(pool_vals)
+            pool[c] = j
+            pool_vals.append(c)
+        cid[t] = j
+    return PackedMatrix(idx, wire, cid)
+
+
+@dataclass
 class R1CS:
     """Frozen constraint system: sparse rows as (constraint, wire, coeff)."""
 
@@ -96,6 +142,28 @@ class R1CS:
     b_rows: List[Tuple[int, int, int]]
     c_rows: List[Tuple[int, int, int]]
     n_constraints: int
+
+    def pack(self) -> PackedR1CS:
+        """Packed numpy form (cached): feeds the device QAP evaluation
+        (ops/qap_eval.eval_matrices_device)."""
+        cached = getattr(self, "_packed", None)
+        if cached is not None:
+            return cached
+        from ..ops.msm_pallas import scalars_to_limbs_fast
+
+        pool: dict = {1: 0}
+        pool_vals = [1]
+        packed = PackedR1CS(
+            a=_pack_rows(self.a_rows, pool, pool_vals),
+            b=_pack_rows(self.b_rows, pool, pool_vals),
+            c=_pack_rows(self.c_rows, pool, pool_vals),
+            pool_limbs=scalars_to_limbs_fast(pool_vals),
+            n_wires=self.n_wires,
+            n_public=self.n_public,
+            n_constraints=self.n_constraints,
+        )
+        object.__setattr__(self, "_packed", packed)
+        return packed
 
     def eval_matrices(self, witness: Sequence[int]):
         """Return per-constraint <A,w>, <B,w>, <C,w> (exact host ints)."""

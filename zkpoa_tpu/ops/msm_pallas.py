@@ -532,6 +532,92 @@ def _accum_group_kernel(ax, ay, az, ae, px_ref, py_ref, v_ref,
     oe_ref[0] = oe_ref[0] | exc.astype(jnp.uint32)
 
 
+def _accum_scan_kernel(ax_ref, ay_ref, az_ref, ae_ref, px_ref, py_ref, v_ref,
+                       ox_ref, oy_ref, oz_ref, oe_ref, *, mod, n0, one_m):
+    """_accum_group_kernel without input/output aliasing (scan-body safe):
+    the carried accumulator arrives as REGULAR inputs and is copied into
+    the output blocks at the first grid round; the outputs then stay
+    VMEM-resident across the inner rounds axis (constant index_map)."""
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _seed():
+        ox_ref[...] = ax_ref[...]
+        oy_ref[...] = ay_ref[...]
+        oz_ref[...] = az_ref[...]
+        oe_ref[...] = ae_ref[...]
+
+    k = ox_ref.shape[0]
+    x1 = [ox_ref[j] for j in range(k)]
+    y1 = [oy_ref[j] for j in range(k)]
+    z1 = [oz_ref[j] for j in range(k)]
+    xq = [px_ref[0, j] for j in range(k)]
+    yq = [py_ref[0, j] for j in range(k)]
+    vq = v_ref[r % 8] != 0
+    x3, y3, z3, exc = _k_jac_madd_noexcept(x1, y1, z1, xq, yq, vq, mod, n0, one_m)
+    ox_ref[...] = PF._stack(x3)
+    oy_ref[...] = PF._stack(y3)
+    oz_ref[...] = PF._stack(z3)
+    oe_ref[0] = oe_ref[0] | exc.astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _msm_groups_scan(curve, plan: MsmPlan, rg: int, xs, ys_ext, order_y,
+                     b_start, b_end, n_groups):
+    """The whole host-planned MSM accumulation as ONE device program: a
+    fori_loop over round groups, each step gathering one [rg, K, L] stream
+    slice and running the Pallas bucket kernel. Replaces the Python group
+    loop whose per-group dispatch round trips dominated at prover scale
+    (measured ~0.6s/group through the remote tunnel — 13.7s for an
+    N=2^20 MSM whose compute is tens of ms). `plan` must carry rounds=rg
+    and `n_groups` is TRACED, so the compile key is (N, c, rg) only —
+    every occupancy at a given size reuses one executable."""
+    spec = curve.field
+    k = spec.n_limbs
+    n, lanes = plan.n, plan.lanes
+    mod = tuple(int(x) for x in spec.mod_limbs)
+    n0 = int(spec.n0inv)
+    one_m = tuple(int(x) for x in spec.one_mont_limbs)
+    tile = LANE_TILE if lanes % LANE_TILE == 0 else lanes
+    ntiles = lanes // tile
+    kernel = functools.partial(_accum_scan_kernel, mod=mod, n0=n0, one_m=one_m)
+    coord_in = pl.BlockSpec((1, k, tile), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM)
+    flag_in = pl.BlockSpec((8, tile), lambda j, i: (i // 8, j), memory_space=pltpu.VMEM)
+    coord_acc = pl.BlockSpec((k, tile), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    exc_spec = pl.BlockSpec((8, tile), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+
+    def body(g, carry):
+        ax, ay, az, ae = carry
+        # gather this group's point stream (same math as _gather_group)
+        r_idx = g * rg + jnp.arange(rg, dtype=jnp.int32)
+        pos = b_start[None, :, :] + r_idx[:, None, None]
+        valid = pos < b_end[None, :, :]
+        pos_c = jnp.minimum(pos, n - 1)
+        idx_y = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_y, pos_c)
+        idx_flat = idx_y.reshape(-1)
+        sign = idx_flat >= n
+        idx = jnp.where(sign, idx_flat - n, idx_flat)
+        px = jnp.transpose(xs[idx].reshape(rg, lanes, k), (0, 2, 1))
+        py = jnp.transpose(ys_ext[idx_flat].reshape(rg, lanes, k), (0, 2, 1))
+        v = valid.reshape(rg, lanes).astype(jnp.uint32)
+        ax, ay, az, ae = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((k, lanes), jnp.uint32)] * 3
+            + [jax.ShapeDtypeStruct((8, lanes), jnp.uint32)],
+            grid=(ntiles, rg),
+            in_specs=[coord_acc, coord_acc, coord_acc, exc_spec,
+                      coord_in, coord_in, flag_in],
+            out_specs=[coord_acc] * 3 + [exc_spec],
+        )(ax, ay, az, ae, px, py, v)
+        return (ax, ay, az, ae)
+
+    ax = jnp.zeros((k, lanes), jnp.uint32)
+    ay = jnp.zeros((k, lanes), jnp.uint32)
+    az = jnp.zeros((k, lanes), jnp.uint32)
+    ae = jnp.zeros((8, lanes), jnp.uint32)
+    return jax.lax.fori_loop(0, n_groups, body, (ax, ay, az, ae))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _accum_group(curve, plan: MsmPlan, ax, ay, az, ae, px, py, vstream):
     """One RG_ROUNDS group of bucket accumulation; acc buffers donated and
@@ -603,27 +689,35 @@ def _neg_y_ext(spec: FieldSpec, ys):
 def _msm_host_planned(curve, plan: MsmPlan, xs, ys, host_plan):
     """Grouped gather+accumulate driver for host-planned MSMs: fixed-shape
     compile units regardless of N and round count."""
+    import os as _os
+
     spec = curve.field
     k = spec.n_limbs
     lanes = plan.lanes
     oy_, bs_, be_ = (jnp.asarray(x) for x in host_plan)
     ys_ext = _neg_y_ext(spec, ys)
+    rg = min(RG_ROUNDS, plan.rounds)
+    # the group/reduce compile keys must NOT vary with the round count —
+    # only the scan length does (scan body compiles once per rg shape)
+    gplan = MsmPlan(plan.n_bits, plan.c, plan.n, rg, use_jnp=plan.use_jnp)
+    if not (
+        jax.default_backend() == "cpu"
+        or _os.environ.get("ZKPOA_PALLAS") == "0"
+        or plan.use_jnp
+    ):
+        # one device program: scan over round groups with the Pallas
+        # kernel inside (the Python group loop paid ~0.6s/group in
+        # dispatch round trips through the remote tunnel)
+        n_groups = (plan.rounds + rg - 1) // rg
+        ax, ay, az, ae = _msm_groups_scan(
+            curve, gplan, rg, xs, ys_ext, oy_, bs_, be_, jnp.int32(n_groups)
+        )
+        return _msm_reduce_stage(curve, gplan, ax, ay, az), jnp.sum(ae[0])
     ax = jnp.zeros((k, lanes), jnp.uint32)
     ay = jnp.zeros((k, lanes), jnp.uint32)
     az = jnp.zeros((k, lanes), jnp.uint32)
     ae = jnp.zeros((8, lanes), jnp.uint32)
-    rg = min(RG_ROUNDS, plan.rounds)
-    # the group/reduce compile keys must NOT vary with the round count —
-    # only the host loop does; otherwise each query's plan (same N, a
-    # different occupancy) would trigger a fresh multi-minute compile
-    gplan = MsmPlan(plan.n_bits, plan.c, plan.n, rg, use_jnp=plan.use_jnp)
-    import os as _os
-    import sys as _sys
-
-    verbose = bool(_os.environ.get("ZKPOA_VERBOSE"))
     for r0 in range(0, plan.rounds, rg):
-        if verbose:
-            print(f"[zkpoa:msm] group r0={r0}/{plan.rounds}", file=_sys.stderr, flush=True)
         px, py, v = _gather_group(
             curve, gplan, rg, xs, ys_ext, oy_, bs_, be_, jnp.int32(r0)
         )

@@ -64,12 +64,13 @@ def prove_batched(
     mesh: Mesh,
     seed: str = "zkpoa-proof",
     axis: str = "batch",
+    seeds: Optional[Sequence[str]] = None,
 ) -> List:
     """Prove the SAME circuit for several witnesses with the batch axis of
     `mesh` (the reference's per-batch GNU-parallel fan-out). Requires a
     device-resident key (prover.setup.setup_device). Returns one Proof per
     witness, identical to sequential prove() calls with seeds
-    f"{seed}-b{i}"."""
+    f"{seed}-b{i}" (or the explicit per-witness `seeds`)."""
     from ..fields import bn254
     from ..fields.bn254 import R
     from ..ops.curve_jax import BN254_G1
@@ -147,7 +148,8 @@ def prove_batched(
         c_acc = BN254_G1.decode_jac(take(c_accs))[0]
         h_acc = BN254_G1.decode_jac(take(h_accs))[0]
         b2_acc = BN254_G2.decode_jac(jax.tree.map(lambda a: a[None], b2_acc_d))[0]
-        r = _rand_fr(f"{seed}-b{i}", "r")
-        s = _rand_fr(f"{seed}-b{i}", "s")
+        seed_i = seeds[i] if seeds is not None else f"{seed}-b{i}"
+        r = _rand_fr(seed_i, "r")
+        s = _rand_fr(seed_i, "s")
         proofs.append(_assemble_proof(pk, a_acc, b1_acc, c_acc, h_acc, b2_acc, r, s))
     return proofs

@@ -133,30 +133,48 @@ def run_workflow(
     )
 
     # -- Merkle engine (reference L5, the Rust merkle-tree binary) --------
-    with Stage(timings, "merkle tree build"):
-        tree = MerkleTree.build(anon_addrs, anon_bals, height)
-        root = tree.root()
-        tree.write_root(os.path.join(build_dir, "merkle_root.json"))
-        owned_idx = find_owned_indices(anon_addrs, [a.address for a in atts])
-        proofs = {i: tree.prove(idx) for i, idx in enumerate(owned_idx)}
-        tree.write_proofs(owned_idx, os.path.join(build_dir, "merkle_proofs.json"))
+    # Built in a background thread, overlapped with the layer-1 work —
+    # layer-1 circuits never touch the tree (the reference backgrounds its
+    # merkle-tree binary the same way, full_workflow.sh:371-380,430). JAX
+    # dispatch is thread-safe; the chip interleaves the two streams.
+    merkle_out: Dict[str, object] = {}
 
-    # -- per-batch layers 1+2 (reference prove_layers_one_two) ------------
-    batch_balance_sums: List[int] = []
-    l2_sanitized: List[dict] = []
-    l2_vk_jsons: List[dict] = []
-    bench_lines: List[str] = []  # benchmarks.txt (reference convention)
+    def _build_merkle():
+        with Stage(timings, "merkle tree build"):
+            tree = MerkleTree.build(anon_addrs, anon_bals, height)
+            merkle_out["root"] = tree.root()
+            tree.write_root(os.path.join(build_dir, "merkle_root.json"))
+            owned_idx = find_owned_indices(anon_addrs, [a.address for a in atts])
+            merkle_out["proofs"] = {
+                i: tree.prove(idx) for i, idx in enumerate(owned_idx)
+            }
+            tree.write_proofs(owned_idx, os.path.join(build_dir, "merkle_proofs.json"))
+
+    import threading
+
+    merkle_thread = threading.Thread(target=_build_merkle, name="merkle-build")
+    merkle_thread.start()
+
+    batches = []
+    bdirs = []
     for bi in range(bplan.num_batches):
         start, end = bplan.batch_range(bi)
-        batch = atts[start:end]
+        batches.append(atts[start:end])
         bdir = os.path.join(build_dir, f"batch_{bi}")
         os.makedirs(bdir, exist_ok=True)
+        bdirs.append(bdir)
 
-        san1 = vk1 = None
-        if mode in ("full", "recursive"):
-            with Stage(timings, f"layer1 prove batch {bi}"):
+    # -- layer 1 (all batches share one proving key: the reference's
+    # per-shape zkey, full_workflow.sh:303-323) ----------------------------
+    bench_lines: List[str] = []  # benchmarks.txt (reference convention)
+    san1s: List[Optional[dict]] = [None] * bplan.num_batches
+    pk1_vk_jsons: List[Optional[dict]] = [None] * bplan.num_batches
+    if mode in ("full", "recursive"):
+        l1_builds = []
+        for bi, batch in enumerate(batches):
+            with Stage(timings, f"layer1 build batch {bi}"):
                 l1_inp_json = layer_one_input(batch)
-                with open(os.path.join(bdir, "layer_one_input.json"), "w") as f:
+                with open(os.path.join(bdirs[bi], "layer_one_input.json"), "w") as f:
                     json.dump(l1_inp_json, f)
                 sigs = [
                     LayerOneInput.from_json_entry(l1_inp_json, i)
@@ -168,36 +186,63 @@ def run_workflow(
                     f"layer_one batch {bi}: {r1.n_constraints} constraints, "
                     f"{r1.n_wires} wires ({len(batch)} sigs)"
                 )
+                l1_builds.append((r1, w1, c1.public_values))
+        pk1 = None
+        for group in _shape_groups(batches):
+            bi0 = group[0]
+            r1_0 = l1_builds[bi0][0]
+            with Stage(timings, f"layer1 setup ({len(batches[bi0])} sigs)"):
                 pk1 = cached_setup(
-                    r1, zkey_cache, f"layer_one_{len(batch)}_sigs", seed=setup_seed
+                    r1_0, zkey_cache, f"layer_one_{len(batches[bi0])}_sigs",
+                    seed=setup_seed,
                 )
-                proof1 = prove(pk1, r1, w1, seed=f"l1-b{bi}")
-                vk1 = groth16.VerifyingKey.from_json(pk1.vk_json)
-                assert groth16.verify(vk1, proof1, c1.public_values), "layer-1 verify failed"
-                _write_proof(bdir, "layer_one", proof1, c1.public_values, pk1.vk_json)
-                san1 = sanitize(vk1, proof1, c1.public_values)
-                with open(os.path.join(bdir, "layer_one_sanitized_proof.json"), "w") as f:
-                    json.dump(san1, f)
-                # release the layer-1 device key: only its vk_json is needed
-                # downstream, and the multi-GB HBM query tables must not
-                # stay alive through the (larger) layer-2 setup/prove
-                pk1_vk_json = pk1.vk_json
-                pk1 = None
-                c1 = r1 = w1 = None
+            with Stage(timings, f"layer1 prove batches {group}"):
+                proofs1 = _prove_many(
+                    pk1, r1_0, [l1_builds[bi][1] for bi in group],
+                    [f"l1-b{bi}" for bi in group],
+                )
+            vk1 = groth16.VerifyingKey.from_json(pk1.vk_json)
+            for proof1, bi in zip(proofs1, group):
+                publics1 = l1_builds[bi][2]
+                assert groth16.verify(vk1, proof1, publics1), "layer-1 verify failed"
+                _write_proof(bdirs[bi], "layer_one", proof1, publics1, pk1.vk_json)
+                san1s[bi] = sanitize(vk1, proof1, publics1)
+                with open(
+                    os.path.join(bdirs[bi], "layer_one_sanitized_proof.json"), "w"
+                ) as f:
+                    json.dump(san1s[bi], f)
+            # release the layer-1 device key: only its vk_json is needed
+            # downstream, and the multi-GB HBM query tables must not stay
+            # alive through the (larger) layer-2 setup/prove
+            for bi in group:
+                pk1_vk_jsons[bi] = pk1.vk_json
+            pk1 = None
+        l1_builds = None
 
-        with Stage(timings, f"layer2 prove batch {bi}"):
+    merkle_thread.join()
+    root: int = merkle_out["root"]
+    proofs = merkle_out["proofs"]
+
+    # -- layer 2 (one key per batch shape, proofs batched over the mesh) ---
+    batch_balance_sums: List[int] = [0] * bplan.num_batches
+    l2_sanitized: List[Optional[dict]] = [None] * bplan.num_batches
+    l2_vk_jsons: List[Optional[dict]] = [None] * bplan.num_batches
+    l2_builds = []
+    for bi, batch in enumerate(batches):
+        start, _ = bplan.batch_range(bi)
+        with Stage(timings, f"layer2 build batch {bi}"):
             batch_proofs = [proofs[start + j] for j in range(len(batch))]
             if mode in ("full", "recursive"):
                 inp2 = _layer_two_input(batch, batch_proofs, root, height)
                 if mode == "recursive":
-                    inp2.proof = san1
-                with open(os.path.join(bdir, "layer_two_input.json"), "w") as f:
+                    inp2.proof = san1s[bi]
+                with open(os.path.join(bdirs[bi], "layer_two_input.json"), "w") as f:
                     json.dump(_jsonable(inp2.__dict__), f)
                 inner_vk1 = None
                 if mode == "recursive":
                     from ..models.gadgets.pairing_gadget import PreparedVK
 
-                    inner_vk1 = _prepared_vk_cached(pk1_vk_json, PreparedVK)
+                    inner_vk1 = _prepared_vk_cached(pk1_vk_jsons[bi], PreparedVK)
                 c2 = layer_two_circuit(inp2, tree_height=height, inner_vk=inner_vk1)
             else:
                 accounts = [
@@ -215,23 +260,35 @@ def run_workflow(
                 f"layer_two batch {bi}: {r2.n_constraints} constraints, "
                 f"{r2.n_wires} wires ({len(batch)} sigs, height {height}, {mode})"
             )
+            l2_builds.append((r2, w2, c2.public_values))
+    for group in _shape_groups(batches):
+        bi0 = group[0]
+        r2_0 = l2_builds[bi0][0]
+        with Stage(timings, f"layer2 setup ({len(batches[bi0])} sigs)"):
             pk2 = cached_setup(
-                r2,
-                zkey_cache,
-                f"layer_two_{mode}_{len(batch)}_sigs_{height}_height",
+                r2_0, zkey_cache,
+                f"layer_two_{mode}_{len(batches[bi0])}_sigs_{height}_height",
                 seed=setup_seed,
             )
-            proof2 = prove(pk2, r2, w2, seed=f"l2-b{bi}")
-            vk2 = groth16.VerifyingKey.from_json(pk2.vk_json)
-            assert groth16.verify(vk2, proof2, c2.public_values), "layer-2 verify failed"
-            _write_proof(bdir, "layer_two", proof2, c2.public_values, pk2.vk_json)
-            l2_sanitized.append(sanitize(vk2, proof2, c2.public_values))
-            l2_vk_jsons.append(pk2.vk_json)
-            batch_balance_sums.append(c2.public_values[0])
-            pk2 = None  # release the layer-2 device key (HBM)
-            c2 = r2 = w2 = None
-            with open(os.path.join(bdir, "layer_two_sanitized_proof.json"), "w") as f:
-                json.dump(l2_sanitized[-1], f)
+        with Stage(timings, f"layer2 prove batches {group}"):
+            proofs2 = _prove_many(
+                pk2, r2_0, [l2_builds[bi][1] for bi in group],
+                [f"l2-b{bi}" for bi in group],
+            )
+        vk2 = groth16.VerifyingKey.from_json(pk2.vk_json)
+        for proof2, bi in zip(proofs2, group):
+            publics2 = l2_builds[bi][2]
+            assert groth16.verify(vk2, proof2, publics2), "layer-2 verify failed"
+            _write_proof(bdirs[bi], "layer_two", proof2, publics2, pk2.vk_json)
+            l2_sanitized[bi] = sanitize(vk2, proof2, publics2)
+            l2_vk_jsons[bi] = pk2.vk_json
+            batch_balance_sums[bi] = publics2[0]
+            with open(
+                os.path.join(bdirs[bi], "layer_two_sanitized_proof.json"), "w"
+            ) as f:
+                json.dump(l2_sanitized[bi], f)
+        pk2 = None  # release the layer-2 device key (HBM)
+    l2_builds = None
 
     # -- layer 3: aggregation + Pedersen commitment -----------------------
     # full mode proves the in-circuit Pedersen commitment (~700k
@@ -325,6 +382,39 @@ def run_workflow(
         layer_three_public=l3_public,
         timings=timings,
     )
+
+
+def _shape_groups(batches) -> List[List[int]]:
+    """Batch indices grouped by batch size: same-size batches share one
+    circuit shape and proving key; a remainder batch gets its own
+    (reference full_workflow.sh:398-401)."""
+    groups: Dict[int, List[int]] = {}
+    for bi, b in enumerate(batches):
+        groups.setdefault(len(b), []).append(bi)
+    return list(groups.values())
+
+
+def _prove_many(pk, r1cs, wits, seeds: List[str]) -> List:
+    """prove() for several same-shape witnesses — batched over a mesh
+    "batch" axis when multiple devices are available (the reference's
+    `seq 0 k-1 | parallel prove_layers_one_two`, full_workflow.sh:552),
+    sequential otherwise. Seeds match the sequential path exactly, so the
+    two paths produce byte-identical proofs."""
+    import jax
+
+    from ..prover.setup import DeviceG1Points
+
+    ndev = len(jax.devices())
+    if len(wits) > 1 and ndev > 1 and isinstance(pk.a_query, DeviceG1Points):
+        from ..parallel.batch_prove import prove_batched
+        from ..parallel.mesh import make_mesh
+
+        ax = min(ndev, len(wits))
+        # the batch axis must divide the witness count after padding —
+        # prove_batched pads internally, so any axis size <= ndev works
+        mesh = make_mesh(ax, axis="batch")
+        return prove_batched(pk, r1cs, wits, mesh, seeds=seeds, axis="batch")
+    return [prove(pk, r1cs, w, seed=s) for w, s in zip(wits, seeds)]
 
 
 _PVK_CACHE: Dict[str, object] = {}

@@ -88,22 +88,6 @@ def _qap_domain_evals_fast(r1cs: R1CS, witness: Sequence[int], domain_size: int)
     return enc(a_ev), enc(b_ev), enc(c_ev)
 
 
-def _qap_domain_plain(r1cs: R1CS, witness: Sequence[int], domain_size: int):
-    """Host numpy PLAIN-limb domain evaluations (the blocked four-step
-    quotient Montgomery-encodes on device inside its first block pass)."""
-    from ..ops.msm_pallas import scalars_to_limbs_fast
-
-    a_ev, b_ev, c_ev = r1cs.eval_matrices(witness)
-    if not r1cs.c_rows and r1cs.n_constraints:
-        c_ev = [a * b % R for a, b in zip(a_ev, b_ev)]
-    pad = [0] * (domain_size - len(a_ev))
-    return (
-        scalars_to_limbs_fast(a_ev + pad),
-        scalars_to_limbs_fast(b_ev + pad),
-        scalars_to_limbs_fast(c_ev + pad),
-    )
-
-
 def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
     """prove() for device-resident keys (setup_device): every MSM operand
     stays on device — witness limbs uploaded once, the h-operand comes
@@ -119,15 +103,21 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
             print(f"[zkpoa:prove] {msg}", file=_sys.stderr, flush=True)
 
     h_basis = getattr(pk, "h_basis", "monomial")
-    _vlog("qap domain evals")
     from ..ops.ntt_blocked import BLOCKED_MIN_LOG_N, quotient_blocked
 
+    w = [int(x) % R for x in witness]
+    w_limbs = M2.scalars_to_limbs_fast(w)
+
     if pk.domain_size >= (1 << BLOCKED_MIN_LOG_N):
-        # blocked four-step path: plain-limb host staging + in-place block
-        # passes keep peak HBM ~ 3 operands + one block (the monolithic
-        # quotient's ~5GB of stage/coset tables + six intermediates
-        # RESOURCE_EXHAUSTED the 2^23 layer-2 domain on hardware)
-        a_p, b_p, c_p = _qap_domain_plain(r1cs, witness, pk.domain_size)
+        # device SpMV (ops/qap_eval) feeding the blocked four-step quotient:
+        # one witness upload, everything else stays in HBM, peak ~3 operands
+        # + one block (the monolithic quotient's ~5GB of stage/coset tables
+        # + six intermediates RESOURCE_EXHAUSTED the 2^23 layer-2 domain on
+        # hardware; the Python eval_matrices loop took minutes per prove)
+        from ..ops.qap_eval import eval_matrices_device
+
+        _vlog("device qap eval")
+        a_p, b_p, c_p = eval_matrices_device(r1cs.pack(), w_limbs, pk.domain_size)
         _vlog("blocked quotient")
         h_dev = quotient_blocked(a_p, b_p, c_p, h_basis=h_basis)
         if h_basis == "monomial":
@@ -135,6 +125,7 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
         h_limbs = np.asarray(h_dev)
         del h_dev, a_p, b_p, c_p
     else:
+        _vlog("qap domain evals")
         a_m, b_m, c_m = _qap_domain_evals_fast(r1cs, witness, pk.domain_size)
         if h_basis == "monomial":
             h_dev = BN254_FR.from_mont(quotient(a_m, b_m, c_m))[: len(pk.h_query)]
@@ -146,9 +137,6 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
         # at an 8M domain they hold ~2GB of HBM the MSMs need
         h_limbs = np.asarray(h_dev)
         del h_dev, a_m, b_m, c_m
-
-    w = [int(x) % R for x in witness]
-    w_limbs = M2.scalars_to_limbs_fast(w)
 
     # witness MSMs: repeated scalar values (wires holding bits etc.) are
     # split out and tree-summed — they would otherwise set the Pippenger
