@@ -227,3 +227,41 @@ def test_groth16_verify_gadget_rejects_tampered_public():
     pub = [c.var(int(d["pubInput"][0]) + 1)]
     with pytest.raises(ValueError):
         PG.groth16_verify_gadget(c, pvk, negpa, pb, pc, pub)
+
+
+@pytest.mark.slow
+def test_prove_and_verify_circuit_with_fq12_gadget():
+    """Prove-level coverage of the recursion substrate: a Groth16 proof of
+    a circuit built from the SAME foreign-field/Fq12 gadget machinery the
+    in-snark verifier uses (fq12_mul + fq12_sq over FFdot congruences),
+    verified by the host verifier and tamper-rejected. (The full ~7M-
+    constraint verifier gadget proves on hardware — experiments/
+    run_recursive.py; this keeps the prove path over gadget-style
+    constraints covered off-hardware.)"""
+    from zkpoa_tpu.prover import groth16
+    from zkpoa_tpu.prover.prove import prove
+    from zkpoa_tpu.prover.setup import setup
+
+    rng = random.Random(11)
+    a_d = tuple(rng.randrange(bn.P) for _ in range(12))
+    b_d = tuple(rng.randrange(bn.P) for _ in range(12))
+    c = Circuit(check=False)
+    out = c.public_output()
+    A = F12.fq12_witness(c, a_d)
+    B = F12.fq12_witness(c, b_d)
+    AB = F12.fq12_mul(c, A, B)
+    AB2 = F12.fq12_sq(c, AB)
+    # bind one limb of the result into the public output (FE limbs are
+    # {wire: coeff} dicts over the native field)
+    from zkpoa_tpu.models.r1cs import LC
+
+    c.bind_output(out, LC(dict(AB2.co[0].limbs[0])))
+    r1cs, wit = c.compile()
+    assert r1cs.is_satisfied(wit)
+
+    pk = setup(r1cs, seed="fq12-prove-test")
+    proof = prove(pk, r1cs, wit, seed="fq12")
+    vk = groth16.VerifyingKey.from_json(pk.vk_json)
+    assert groth16.verify(vk, proof, c.public_values)
+    # tampered public input must not verify
+    assert not groth16.verify(vk, proof, [(c.public_values[0] + 1) % bn.R])

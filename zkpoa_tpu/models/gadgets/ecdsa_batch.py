@@ -199,19 +199,26 @@ def mux_points(
 
 
 class LadderTerm:
-    """One MSM term: 256 scalar bits (little-endian, boolean-constrained)
-    and a 16-entry table T[j] = j*Base + D2_t (T[0] = D2_t)."""
+    """One MSM term: scalar bits (little-endian, boolean-constrained) and
+    a 16-entry table T[j] = j*Base + D2_t (T[0] = D2_t). Terms whose
+    scalar is KNOWN < 2^n_bits (e.g. 128-bit Fiat-Shamir challenges) only
+    join the ladder's low windows — half the mux-adds of a full-width
+    term."""
 
     def __init__(self, bits: Sequence[AnyLC], bit_vals: Sequence[int],
-                 table: List[ECPoint], d2: Tuple[int, int]):
+                 table: List[ECPoint], d2: Tuple[int, int],
+                 n_bits: Optional[int] = None):
         self.bits = list(bits)
         self.bit_vals = list(bit_vals)
         self.table = table
         self.d2 = d2
+        self.n_bits = n_bits if n_bits is not None else len(self.bits)
+        assert self.n_bits % WINDOW == 0 and len(self.bits) >= self.n_bits
 
 
 def make_term_const_base(
-    c: Circuit, spec: ECSpec, bits, bit_vals, base: Tuple[int, int], tag: str
+    c: Circuit, spec: ECSpec, bits, bit_vals, base: Tuple[int, int], tag: str,
+    n_bits: Optional[int] = None,
 ) -> LadderTerm:
     """Term with a CONSTANT base (e.g. G): the whole table is constant."""
     from .ec import ec_const
@@ -223,11 +230,12 @@ def make_term_const_base(
     for _ in range(15):
         acc = _ec_add_host(spec, acc, base)
         table.append(ec_const(c, spec, acc))
-    return LadderTerm(bits, bit_vals, table, d2)
+    return LadderTerm(bits, bit_vals, table, d2, n_bits)
 
 
 def make_term_witness_base(
-    c: Circuit, spec: ECSpec, bits, bit_vals, base: ECPoint, tag: str
+    c: Circuit, spec: ECSpec, bits, bit_vals, base: ECPoint, tag: str,
+    n_bits: Optional[int] = None,
 ) -> LadderTerm:
     """Term with a witness base (pubkeys, R points): 15 in-circuit adds."""
     from .ec import ec_const
@@ -236,7 +244,7 @@ def make_term_witness_base(
     table = [ec_const(c, spec, d2)]
     for _ in range(15):
         table.append(ec_add_checked(c, spec, table[-1], base))
-    return LadderTerm(bits, bit_vals, table, d2)
+    return LadderTerm(bits, bit_vals, table, d2, n_bits)
 
 
 def msm_ladder(
@@ -248,9 +256,11 @@ def msm_ladder(
 ) -> Tuple[ECPoint, Tuple[int, int]]:
     """Compute sum_t scalar_t * Base_t + OFFSET with one shared doubling
     chain: per 4-bit window (MSB first) 4 doubles then one mux-add per
-    term. Returns (acc, offset) where offset = 2^n_bits * D +
-    (sum_w 2^(4w)) * sum_t D2_t is the data-independent constant the
-    caller must subtract (or fold into its equality target)."""
+    term — terms only join windows below their declared n_bits (128-bit
+    challenge terms pay half the mux-adds). Returns (acc, offset) where
+    offset = 2^n_bits * D + sum_t (sum over t's windows of 2^(4w)) * D2_t
+    is the data-independent constant the caller must subtract (or fold
+    into its equality target)."""
     assert n_bits % WINDOW == 0
     nwin = n_bits // WINDOW
     from .ec import ec_const
@@ -261,6 +271,8 @@ def msm_ladder(
         for _ in range(WINDOW):
             acc = ec_double_checked(c, spec, acc)
         for t in terms:
+            if WINDOW * wstep >= t.n_bits:
+                continue  # scalar known-zero above n_bits
             bits = t.bits[WINDOW * wstep : WINDOW * (wstep + 1)]
             bvals = t.bit_vals[WINDOW * wstep : WINDOW * (wstep + 1)]
             sel = sum(v << i for i, v in enumerate(bvals))
@@ -268,10 +280,10 @@ def msm_ladder(
             entry = mux_points(c, spec, oh, t.table, sel)
             acc = ec_add_checked(c, spec, acc, entry)
 
-    # offset = 2^n_bits * D + (sum_w 2^(4w)) * sum_t D2_t
-    wsum = sum(1 << (WINDOW * w) for w in range(nwin))
+    # offset = 2^n_bits * D + per-term window sums of D2_t
     off = _ec_mul_host(spec, d, 1 << n_bits)
     for t in terms:
+        wsum = sum(1 << (WINDOW * w) for w in range(t.n_bits // WINDOW))
         off = _ec_add_host(spec, off, _ec_mul_host(spec, t.d2, wsum))
     return acc, off
 
@@ -353,7 +365,13 @@ def batch_ecdsa_star_verify(
         ec_assert_equal(c, spec, acc, rhs)
         return
 
-    # --- Fiat-Shamir challenge t over every input register ---------------
+    # --- Fiat-Shamir challenges over every input register ----------------
+    # INDEPENDENT 128-bit challenges t_i per signature (t_0 = 1) instead
+    # of powers of one challenge: the soundness argument is the same
+    # (any single defect survives a random independent combination with
+    # probability <= 2^-128), and a 128-bit ladder scalar joins only the
+    # low half of the windows — the -R_i terms drop from 64 to 32
+    # mux-adds each (~146k constraints/sig saved vs the t^i scheme).
     absorb: List[AnyLC] = []
     for sig in sigs:
         for ffel in (sig["r"], sig["rprime"], sig["s"], sig["msghash"]):
@@ -361,40 +379,45 @@ def batch_ecdsa_star_verify(
         absorb.extend(sig["pubkey"].x.limbs)
         absorb.extend(sig["pubkey"].y.limbs)
     h = poseidon_sponge(c, absorb)
-    h_val = c.eval_lc(h)
-    h_bits = num2bits(c, h, 254)
-    t_val = h_val & ((1 << CHALLENGE_BITS) - 1)
-    # t as an Fr element from the low 128 hash bits (limbs are bit LCs)
-    t_limbs: List[LC] = []
-    for li in range(fr.k):
-        acc_lc = LC.const(0)
-        for bi in range(fr.n):
-            idx = li * fr.n + bi
-            if idx < CHALLENGE_BITS:
-                acc_lc = acc_lc + _lc(h_bits[idx]) * (1 << bi)
-        t_limbs.append(acc_lc)
-    t = FF(fr, t_limbs, t_val)
 
-    # t^i, a_i = t^i * u1_i, b_i = t^i * u2_i (mod n)
-    t_pows: List[FF] = [None] * b  # t_pows[i] = t^i, i >= 1
-    t_pows[1] = t
-    for i in range(2, b):
-        v = t_pows[i - 1].value * t.value % fr.p
-        ti = B.ff_witness(c, fr, v)
-        B.ff_check_congruence(
-            c, fr, [(t_pows[i - 1], t, 1)], ffu(ti), lin_sign=-1
-        )
-        t_pows[i] = ti
+    def challenge_from(h_lc):
+        """(FF over Fr, its 128 boolean-constrained bit LCs, bit values)"""
+        h_val = c.eval_lc(h_lc)
+        h_bits = num2bits(c, h_lc, 254)
+        t_val = h_val & ((1 << CHALLENGE_BITS) - 1)
+        t_limbs: List[LC] = []
+        for li in range(fr.k):
+            acc_lc = LC.const(0)
+            for bi_ in range(fr.n):
+                idx = li * fr.n + bi_
+                if idx < CHALLENGE_BITS:
+                    acc_lc = acc_lc + _lc(h_bits[idx]) * (1 << bi_)
+            t_limbs.append(acc_lc)
+        bits = list(h_bits[:CHALLENGE_BITS])
+        bvals = [(t_val >> j) & 1 for j in range(CHALLENGE_BITS)]
+        return FF(fr, t_limbs, t_val), bits, bvals
+
+    # challenge chain: h_1 = h, h_{i+1} = Poseidon(h_i) — each yields the
+    # low 128 bits (domain-separated by position in the chain)
+    t_chall: List[Optional[FF]] = [None] * b
+    t_bits: List[Optional[list]] = [None] * b
+    t_bvals: List[Optional[list]] = [None] * b
+    h_cur = h
+    for i in range(1, b):
+        t_chall[i], t_bits[i], t_bvals[i] = challenge_from(h_cur)
+        if i + 1 < b:
+            h_cur = poseidon_sponge(c, [h_cur])
 
     a_terms: List[FF] = [u1s[0]]
     b_terms: List[FF] = [u2s[0]]
     for i in range(1, b):
-        av = t_pows[i].value * u1s[i].value % fr.p
-        bv = t_pows[i].value * u2s[i].value % fr.p
+        ti = t_chall[i]
+        av = ti.value * u1s[i].value % fr.p
+        bv = ti.value * u2s[i].value % fr.p
         ai = B.ff_witness(c, fr, av)
         bi = B.ff_witness(c, fr, bv, keep_bits=True)
-        B.ff_check_congruence(c, fr, [(t_pows[i], u1s[i], 1)], ffu(ai), lin_sign=-1)
-        B.ff_check_congruence(c, fr, [(t_pows[i], u2s[i], 1)], ffu(bi), lin_sign=-1)
+        B.ff_check_congruence(c, fr, [(ti, u1s[i], 1)], ffu(ai), lin_sign=-1)
+        B.ff_check_congruence(c, fr, [(ti, u2s[i], 1)], ffu(bi), lin_sign=-1)
         a_terms.append(ai)
         b_terms.append(bi)
 
@@ -410,9 +433,9 @@ def batch_ecdsa_star_verify(
     one_fr = B.ff_const(c, fr, 1)
     B.ff_check_congruence(c, fr, [(one_fr, acc_u, 1)], None)
 
-    # ladder: A*G + sum_i b_i * P_i + sum_{i>=1} t^i * (-R_i)  ==  R_0
-    # (R_0 has coefficient t^0 = 1, so it moves to the equality target
-    # instead of paying a full ladder term).
+    # ladder: A*G + sum_i b_i * P_i + sum_{i>=1} t_i * (-R_i)  ==  R_0
+    # (R_0 has coefficient t_0 = 1, so it moves to the equality target
+    # instead of paying a full ladder term; the t_i R-terms are 128-bit).
     bitsA, vA = _bits_from_ff(c, A)
     terms = [make_term_const_base(c, spec, bitsA, vA, spec.gen, f"{tag}|G")]
     for i in range(b):
@@ -429,9 +452,14 @@ def batch_ecdsa_star_verify(
         # constrain y_neg + y == 0 mod p
         ysum = ffu_add(ffu(neg_r.y), ffu(r_points[i].y))
         B.ff_check_congruence(c, f, [(one_q, ysum, 1)], None)
-        bits_t, vt = _bits_from_ff(c, t_pows[i])
+        # the challenge's bit LCs come straight from the hash's num2bits
+        # (already boolean-constrained); the term declares 128 bits and
+        # joins only the ladder's low 32 windows
         terms.append(
-            make_term_witness_base(c, spec, bits_t, vt, neg_r, f"{tag}|R{i}")
+            make_term_witness_base(
+                c, spec, t_bits[i], t_bvals[i], neg_r, f"{tag}|R{i}",
+                n_bits=CHALLENGE_BITS,
+            )
         )
 
     acc, off = msm_ladder(c, spec, terms, tag=tag)

@@ -86,6 +86,57 @@ def _lc(x: AnyLC) -> LC:
     return LC.const(int(x))
 
 
+class RowList:
+    """Sparse constraint rows stored packed: (constraint, wire) as int64
+    arrays plus dictionary-encoded coefficients in a pool SHARED across a
+    circuit's three matrices. Behaves like a list of (i, wire, coeff)
+    tuples for consumers, but costs ~24B/row instead of ~100B+ (tuple
+    rows were the bulk of the 29GB layer-2 build RSS) and converts to the
+    device-SpMV PackedMatrix with zero Python-loop work."""
+
+    __slots__ = ("idx", "wire", "cid", "pool", "pool_index")
+
+    def __init__(self, pool=None, pool_index=None):
+        from array import array
+
+        self.idx = array("q")
+        self.wire = array("q")
+        self.cid = array("q")
+        self.pool = pool if pool is not None else [1]
+        self.pool_index = pool_index if pool_index is not None else {1: 0}
+
+    def append(self, row) -> None:
+        i, w, coeff = row
+        j = self.pool_index.get(coeff)
+        if j is None:
+            j = len(self.pool)
+            self.pool_index[coeff] = j
+            self.pool.append(coeff)
+        self.idx.append(i)
+        self.wire.append(w)
+        self.cid.append(j)
+
+    def __len__(self) -> int:
+        return len(self.idx)
+
+    def __bool__(self) -> bool:
+        return len(self.idx) > 0
+
+    def __iter__(self):
+        pool = self.pool
+        for i, w, j in zip(self.idx, self.wire, self.cid):
+            yield (i, w, pool[j])
+
+    def __getitem__(self, key):
+        pool = self.pool
+        if isinstance(key, slice):
+            return [
+                (i, w, pool[j])
+                for i, w, j in zip(self.idx[key], self.wire[key], self.cid[key])
+            ]
+        return (self.idx[key], self.wire[key], pool[self.cid[key]])
+
+
 @dataclass
 class PackedMatrix:
     """One sparse matrix as parallel int32 numpy arrays (constraint index,
@@ -145,21 +196,44 @@ class R1CS:
 
     def pack(self) -> PackedR1CS:
         """Packed numpy form (cached): feeds the device QAP evaluation
-        (ops/qap_eval.eval_matrices_device)."""
+        (ops/qap_eval.eval_matrices_device). RowList-backed circuits
+        convert with zero per-row Python work."""
+        import numpy as np
+
         cached = getattr(self, "_packed", None)
         if cached is not None:
             return cached
         from ..ops.msm_pallas import scalars_to_limbs_fast
 
-        pool: dict = {1: 0}
-        pool_vals = [1]
+        # a shared coefficient pool across the three matrices: RowList
+        # matrices already share their circuit's pool (ids stay valid);
+        # plain-list matrices dictionary-encode into the same pool
+        pool_index: dict = {}
+        pool_vals: list = []
+        for rows in (self.a_rows, self.b_rows, self.c_rows):
+            if isinstance(rows, RowList):
+                assert not pool_vals or pool_vals is rows.pool, (
+                    "mixed RowList pools in one R1CS"
+                )
+                pool_vals = rows.pool
+                pool_index = rows.pool_index
+        if not pool_vals:
+            pool_vals = [1]
+            pool_index = {1: 0}
+
+        def pm(rows) -> PackedMatrix:
+            if isinstance(rows, RowList):
+                return PackedMatrix(
+                    idx=np.frombuffer(rows.idx, dtype=np.int64).astype(np.int32),
+                    wire=np.frombuffer(rows.wire, dtype=np.int64).astype(np.int32),
+                    cid=np.frombuffer(rows.cid, dtype=np.int64).astype(np.int32),
+                )
+            return _pack_rows(rows, pool_index, pool_vals)
+
         packed = PackedR1CS(
-            a=_pack_rows(self.a_rows, pool, pool_vals),
-            b=_pack_rows(self.b_rows, pool, pool_vals),
-            c=_pack_rows(self.c_rows, pool, pool_vals),
+            a=pm(self.a_rows), b=pm(self.b_rows), c=pm(self.c_rows),
             pool_limbs=scalars_to_limbs_fast(pool_vals),
-            n_wires=self.n_wires,
-            n_public=self.n_public,
+            n_wires=self.n_wires, n_public=self.n_public,
             n_constraints=self.n_constraints,
         )
         object.__setattr__(self, "_packed", packed)
@@ -190,9 +264,11 @@ class Circuit:
     def __init__(self, check: bool = True):
         self.witness: List[int] = [1]
         self._public_wires: List[int] = []
-        self.a_rows: List[Tuple[int, int, int]] = []
-        self.b_rows: List[Tuple[int, int, int]] = []
-        self.c_rows: List[Tuple[int, int, int]] = []
+        pool: List[int] = [1]
+        pool_index = {1: 0}
+        self.a_rows = RowList(pool, pool_index)
+        self.b_rows = RowList(pool, pool_index)
+        self.c_rows = RowList(pool, pool_index)
         self.n_constraints = 0
         self.check = check
         self._finalized_public = False
@@ -317,9 +393,12 @@ class Circuit:
         r1cs = R1CS(
             n_wires=len(self.witness),
             n_public=len(self._public_wires),
-            a_rows=list(self.a_rows),
-            b_rows=list(self.b_rows),
-            c_rows=list(self.c_rows),
+            # RowLists are handed over by reference (packed storage; a
+            # list() copy would re-materialize the tuple rows this
+            # representation exists to avoid)
+            a_rows=self.a_rows,
+            b_rows=self.b_rows,
+            c_rows=self.c_rows,
             n_constraints=self.n_constraints,
         )
         return r1cs, list(self.witness)

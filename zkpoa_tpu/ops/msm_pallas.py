@@ -447,6 +447,33 @@ def _weighted_reduce(curve, buckets, plan: MsmPlan):
 # ---------------------------------------------------------------------------
 
 
+def plan_and_stream(
+    scalars_limbs: np.ndarray,
+    n_bits: int,
+    c: int,
+    point_valid_np,
+    plan: Optional[MsmPlan] = None,
+):
+    """One-call host planning: (MsmPlan, (order_y, b_start, b_end)).
+    Uses the native C++ planner (native/msm_plan.cc: recode + counting
+    sort, OpenMP) when a compiler exists — the numpy path costs ~12s per
+    MSM at N=2^20, which dominated the measured on-hardware MSM time."""
+    from ..native import plan as nplan
+
+    sc = np.asarray(scalars_limbs)
+    nb_ = n_bits if plan is None else plan.n_bits
+    c_ = c if plan is None else plan.c
+    if nplan.available(nb_, c_):
+        occ, oy, bs, be = nplan.plan_stream(sc, nb_, c_, point_valid_np)
+        if plan is None:
+            rounds = ((occ + ROUND_GRANULE - 1) // ROUND_GRANULE) * ROUND_GRANULE
+            plan = MsmPlan(n_bits, c, sc.shape[0], rounds)
+        return plan, (oy, bs, be)
+    if plan is None:
+        plan = plan_msm(sc, n_bits, c, point_valid_np)
+    return plan, _stream_indices_host(plan, sc, point_valid_np)
+
+
 def _stream_indices_host(plan: MsmPlan, scalars_np: np.ndarray, point_valid_np):
     """Host (numpy) stream planning: digits, per-window argsort, bucket
     starts. The device-sort variant's XLA program (variadic sort over
@@ -561,17 +588,16 @@ def _accum_scan_kernel(ax_ref, ay_ref, az_ref, ae_ref, px_ref, py_ref, v_ref,
     oe_ref[0] = oe_ref[0] | exc.astype(jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _msm_groups_scan(curve, plan: MsmPlan, rg: int, xs, ys_ext, order_y,
-                     b_start, b_end, n_groups):
-    """The whole host-planned MSM accumulation as ONE device program: a
-    fori_loop over round groups, each step gathering one [rg, K, L] stream
-    slice and running the Pallas bucket kernel. Replaces the Python group
-    loop whose per-group dispatch round trips dominated at prover scale
-    (measured ~0.6s/group through the remote tunnel — 13.7s for an
-    N=2^20 MSM whose compute is tens of ms). `plan` must carry rounds=rg
-    and `n_groups` is TRACED, so the compile key is (N, c, rg) only —
-    every occupancy at a given size reuses one executable."""
+def _groups_scan_core(curve, plan: MsmPlan, rg: int, xs, ys_ext, order_y,
+                      b_start, b_end, n_groups):
+    """Traced core of the grouped MSM accumulation: a fori_loop over round
+    groups, each step gathering one [rg, K, L] stream slice and running
+    the Pallas bucket kernel. `n_groups` is TRACED, so the compile key is
+    (N, c, rg) only — every occupancy at a given size reuses one
+    executable. Replaces the Python group loop whose per-group dispatch
+    round trips dominated at prover scale (measured ~0.6s/group through
+    the remote tunnel — 13.7s for an N=2^20 MSM whose compute is tens
+    of ms)."""
     spec = curve.field
     k = spec.n_limbs
     n, lanes = plan.n, plan.lanes
@@ -616,6 +642,35 @@ def _msm_groups_scan(curve, plan: MsmPlan, rg: int, xs, ys_ext, order_y,
     az = jnp.zeros((k, lanes), jnp.uint32)
     ae = jnp.zeros((8, lanes), jnp.uint32)
     return jax.lax.fori_loop(0, n_groups, body, (ax, ay, az, ae))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _msm_groups_scan(curve, plan: MsmPlan, rg: int, xs, ys_ext, order_y,
+                     b_start, b_end, n_groups):
+    """Host-planned entry to the grouped scan (plans arrive as arrays)."""
+    return _groups_scan_core(curve, plan, rg, xs, ys_ext, order_y,
+                             b_start, b_end, n_groups)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _msm_device_planned(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
+                        point_valid):
+    """Fully device-resident MSM: digit recode + bucket sort + grouped
+    Pallas accumulation in ONE program, occupancy-derived group count as
+    a traced fori bound. No per-MSM host uploads at all — host planning
+    shipped a [nw, N] int32 order table through the tunnel every call
+    (~100MB at N=2^20, the dominant measured cost), while the prover's
+    scalars are either uploaded once per proof (witness) or already
+    live in HBM (the h-operand straight out of the NTT). `plan` carries
+    rounds=rg so one executable serves every occupancy."""
+    spec = curve.field
+    slots, signs = _digits_signed_jnp(scalars, plan)
+    order_y, _ox, b_start, b_end = _sort_and_starts(slots, signs, point_valid, plan)
+    occ = jnp.maximum(jnp.max(b_end - b_start), 1)
+    n_groups = (occ + rg - 1) // rg
+    ys_ext = jnp.concatenate([ys, L.sub_mod(spec, jnp.zeros_like(ys), ys)], axis=0)
+    return _groups_scan_core(curve, plan, rg, xs, ys_ext, order_y,
+                             b_start, b_end, n_groups)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -827,6 +882,59 @@ def _tree_accum_reduce(curve, plan: MsmPlan, xs, ys, idx2, sign2, valid):
     return _weighted_reduce(curve, buckets, plan)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _tree_device_planned(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
+                         point_valid):
+    """Device-planned pytree-coordinate MSM (G2 over Fp2): recode + sort +
+    grouped unified-add accumulation + weighted reduce in one program,
+    traced group count (one compile per geometry — see
+    _msm_device_planned for why host planning was abandoned)."""
+    from .curve_jax import jac_add_affine
+
+    n, lanes, nb, nw = plan.n, plan.lanes, plan.nb, plan.nw
+    ar = curve.arith()
+    slots, signs = _digits_signed_jnp(scalars, plan)
+    order_y, _ox, b_start, b_end = _sort_and_starts(slots, signs, point_valid, plan)
+    occ = jnp.maximum(jnp.max(b_end - b_start), 1)
+    n_groups = (occ + rg - 1) // rg
+
+    def body(g, acc):
+        r_idx = g * rg + jnp.arange(rg, dtype=jnp.int32)
+        pos = b_start[None, :, :] + r_idx[:, None, None]
+        valid = pos < b_end[None, :, :]
+        pos_c = jnp.minimum(pos, n - 1)
+        idx_y = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_y, pos_c)
+        idx2 = idx_y.reshape(rg, lanes)
+        sign2 = idx2 >= n
+        idx2 = jnp.where(sign2, idx2 - n, idx2)
+
+        def round_step(a, xs_in):
+            ixr, sgr, vr = xs_in
+            pxg = _tmap(lambda t: t[ixr], xs)
+            pyg = _tmap(lambda t: t[ixr], ys)
+            pyg = ar.select(sgr, ar.sub(ar.zeros_like(pyg), pyg), pyg)
+            return jac_add_affine(ar, a, pxg, pyg, vr), None
+
+        acc, _ = jax.lax.scan(
+            round_step, acc, (idx2, sign2, valid.reshape(rg, lanes))
+        )
+        return acc
+
+    acc = jax.lax.fori_loop(0, n_groups, body, curve.infinity((lanes,)))
+    buckets = _tmap(lambda a: a.reshape(nw, nb, a.shape[-1]), acc)
+    return _weighted_reduce(curve, buckets, plan)
+
+
+def _use_device_plan(plan: Optional[MsmPlan]) -> bool:
+    import os
+
+    return (
+        jax.default_backend() != "cpu"
+        and (plan is None or not plan.use_jnp)
+        and os.environ.get("ZKPOA_HOST_PLAN") != "1"
+    )
+
+
 def _msm_fused_tree(curve, plan: MsmPlan, xs, ys, scalars, point_valid,
                     host_plan=None):
     if host_plan is not None:
@@ -857,17 +965,37 @@ def msm_tpu(
     input points are distinct, as zkey/table points are); if any bucket
     lane flags it, the MSM transparently re-runs through the unified jnp
     accumulator (ZKPOA_PALLAS=0 semantics)."""
+    import os
+
+    n = int(xs.shape[0])
+    if point_valid is None:
+        point_valid = jnp.ones((n,), dtype=bool)
+    if _use_device_plan(plan) and os.environ.get("ZKPOA_PALLAS") != "0":
+        nb_ = plan.n_bits if plan else n_bits
+        c_ = plan.c if plan else c
+        geo = MsmPlan(nb_, c_, n, RG_ROUNDS)
+        sc_dev = jnp.asarray(scalars_limbs)
+        ax, ay, az, ae = _msm_device_planned(
+            curve, geo, RG_ROUNDS, xs, ys, sc_dev, point_valid)
+        if int(jnp.sum(ae[0])) != 0:
+            # in-bucket P == Q doubling: re-run through the unified path
+            sc_np = np.asarray(scalars_limbs)
+            slow, host_plan = plan_and_stream(
+                sc_np, nb_, c_, np.asarray(point_valid))
+            slow = MsmPlan(slow.n_bits, slow.c, slow.n, slow.rounds, use_jnp=True)
+            res, _ = _msm_fused(curve, slow, xs, ys,
+                                jnp.zeros((1, 1), jnp.uint32),
+                                point_valid, host_plan)
+            return res
+        return _msm_reduce_stage(curve, geo, ax, ay, az)
+
     host_scalars = isinstance(scalars_limbs, np.ndarray)
     pv = None if point_valid is None else np.asarray(point_valid)
-    if plan is None:
+    host_plan = None
+    if host_scalars and (plan.n if plan else len(scalars_limbs)) >= HOST_PLAN_MIN_N:
+        plan, host_plan = plan_and_stream(scalars_limbs, n_bits, c, pv, plan=plan)
+    elif plan is None:
         plan = plan_msm(np.asarray(scalars_limbs), n_bits, c, pv)
-    if point_valid is None:
-        point_valid = jnp.ones((plan.n,), dtype=bool)
-    host_plan = (
-        _stream_indices_host(plan, scalars_limbs, pv)
-        if host_scalars and plan.n >= HOST_PLAN_MIN_N
-        else None
-    )
     # with a host plan the device never needs the scalars themselves
     sc_dev = (
         jnp.zeros((1, 1), jnp.uint32) if host_plan is not None
@@ -927,7 +1055,7 @@ def _tree_sum_subset(curve, xs, ys, idx_np: np.ndarray):
 
 def msm_tpu_heavy_split(curve, query, scalars_limbs: np.ndarray, host_add,
                         host_mul, c: Optional[int] = None,
-                        use_tree: bool = False):
+                        use_tree: bool = False, scalars_dev=None):
     """Witness-grade MSM: scalar VALUES repeated >= HEAVY_COUNT_MIN times
     (about half of all circuit wires hold bit values, so the value 1 shows
     up ~10^6 times) would each pile into a single Pippenger bucket and
@@ -962,10 +1090,10 @@ def msm_tpu_heavy_split(curve, query, scalars_limbs: np.ndarray, host_add,
             extra = host_add(extra, contrib) if extra is not None else contrib
     if c is None:
         c = auto_c(n)
-    plan = plan_msm(scalars_limbs, 254, c, main_mask)
     msm_fn = msm_tpu_tree if use_tree else msm_tpu
-    res = msm_fn(curve, q_xs, q_ys, scalars_limbs,
-                 point_valid=jnp.asarray(main_mask), plan=plan)
+    sc = scalars_dev if scalars_dev is not None else scalars_limbs
+    res = msm_fn(curve, q_xs, q_ys, sc, c=c,
+                 point_valid=jnp.asarray(main_mask))
     out = curve.decode_jac(_tmap(lambda a: a[None], res))[0]
     if extra is not None:
         out = host_add(out, extra) if out is not None else extra
@@ -984,17 +1112,24 @@ def msm_tpu_tree(
 ):
     """Pytree-coordinate MSM (G2): same planning as msm_tpu, jnp unified-
     add accumulation (handles every exceptional case, no fallback)."""
+    n = int(jax.tree.leaves(xs)[0].shape[0])
+    if point_valid is None:
+        point_valid = jnp.ones((n,), dtype=bool)
+    if _use_device_plan(plan):
+        nb_ = plan.n_bits if plan else n_bits
+        c_ = plan.c if plan else c
+        geo = MsmPlan(nb_, c_, n, RG_ROUNDS)
+        return _tree_device_planned(
+            curve, geo, RG_ROUNDS, xs, ys, jnp.asarray(scalars_limbs),
+            point_valid)
+
     host_scalars = isinstance(scalars_limbs, np.ndarray)
     pv = None if point_valid is None else np.asarray(point_valid)
-    if plan is None:
+    host_plan = None
+    if host_scalars and (plan.n if plan else len(scalars_limbs)) >= HOST_PLAN_MIN_N:
+        plan, host_plan = plan_and_stream(scalars_limbs, n_bits, c, pv, plan=plan)
+    elif plan is None:
         plan = plan_msm(np.asarray(scalars_limbs), n_bits, c, pv)
-    if point_valid is None:
-        point_valid = jnp.ones((plan.n,), dtype=bool)
-    host_plan = (
-        _stream_indices_host(plan, scalars_limbs, pv)
-        if host_scalars and plan.n >= HOST_PLAN_MIN_N
-        else None
-    )
     sc_dev = (
         jnp.zeros((1, 1), jnp.uint32) if host_plan is not None
         else jnp.asarray(scalars_limbs)

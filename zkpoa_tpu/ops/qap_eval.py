@@ -64,26 +64,50 @@ def _mod_reduce_rows(acc):
     return L.add_mod(spec, lo, hi)
 
 
+def _spmv(scatter_np, gather_np, cid_np, pool_mont, vec_dev,
+          out_size: int) -> jnp.ndarray:
+    """Generic sparse accumulate: out[scatter] += pool[cid]·vec[gather]
+    over packed int32 rows, chunked at fixed shapes. Serves both
+    directions: the prover's per-constraint evaluations (scatter =
+    constraint, gather = wire) and the setup's per-wire QAP polys at tau
+    (scatter = wire, gather = constraint — rapidsnark's zkey_new Lagrange
+    accumulation)."""
+    spec = BN254_FR
+    m = len(scatter_np)
+    acc = jnp.zeros((out_size + 1, spec.n_limbs), jnp.uint32)
+    for off in range(0, max(m, 1), CHUNK_ROWS):
+        idx = scatter_np[off : off + CHUNK_ROWS]
+        gat = gather_np[off : off + CHUNK_ROWS]
+        cid = cid_np[off : off + CHUNK_ROWS]
+        pad = CHUNK_ROWS - len(idx)
+        if pad:
+            idx = np.concatenate([idx, np.full(pad, out_size, np.int32)])
+            gat = np.concatenate([gat, np.zeros(pad, np.int32)])
+            cid = np.concatenate([cid, np.zeros(pad, np.int32)])
+        acc = _accum_rows(
+            acc, pool_mont, vec_dev,
+            jnp.asarray(cid), jnp.asarray(gat), jnp.asarray(idx),
+        )
+    return _mod_reduce_rows(acc)[:out_size]
+
+
 def _eval_one(mat, pool_mont, wit_dev, domain_size: int) -> jnp.ndarray:
     """One matrix: packed (idx, wire, cid) int32 numpy rows -> [domain, K]
     plain-limb evaluations on device."""
-    spec = BN254_FR
-    m = len(mat.idx)
-    acc = jnp.zeros((domain_size + 1, spec.n_limbs), jnp.uint32)
-    for off in range(0, max(m, 1), CHUNK_ROWS):
-        idx = mat.idx[off : off + CHUNK_ROWS]
-        wire = mat.wire[off : off + CHUNK_ROWS]
-        cid = mat.cid[off : off + CHUNK_ROWS]
-        pad = CHUNK_ROWS - len(idx)
-        if pad:
-            idx = np.concatenate([idx, np.full(pad, domain_size, np.int32)])
-            wire = np.concatenate([wire, np.zeros(pad, np.int32)])
-            cid = np.concatenate([cid, np.zeros(pad, np.int32)])
-        acc = _accum_rows(
-            acc, pool_mont, wit_dev,
-            jnp.asarray(cid), jnp.asarray(wire), jnp.asarray(idx),
-        )
-    return _mod_reduce_rows(acc)[:domain_size]
+    return _spmv(mat.idx, mat.wire, mat.cid, pool_mont, wit_dev, domain_size)
+
+
+def eval_at_tau_device(packed, lag_plain, n_wires: int):
+    """Setup-side transposed SpMV: per-wire A_k(tau), B_k(tau), C_k(tau)
+    from Lagrange values lag_plain [m, K] (plain limbs, device). Returns
+    three [n_wires, K] plain-limb device arrays — the host loop this
+    replaces walked ~30M rows of Python bigint math per setup."""
+    pool_mont = BN254_FR.to_mont(jnp.asarray(packed.pool_limbs))
+    lag_dev = jnp.asarray(lag_plain)
+    a_t = _spmv(packed.a.wire, packed.a.idx, packed.a.cid, pool_mont, lag_dev, n_wires)
+    b_t = _spmv(packed.b.wire, packed.b.idx, packed.b.cid, pool_mont, lag_dev, n_wires)
+    c_t = _spmv(packed.c.wire, packed.c.idx, packed.c.cid, pool_mont, lag_dev, n_wires)
+    return a_t, b_t, c_t
 
 
 @jax.jit

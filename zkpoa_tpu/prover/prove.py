@@ -122,7 +122,9 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
         h_dev = quotient_blocked(a_p, b_p, c_p, h_basis=h_basis)
         if h_basis == "monomial":
             h_dev = h_dev[: len(pk.h_query)]
-        h_limbs = np.asarray(h_dev)
+        # on TPU the h-operand never leaves the device (device-planned
+        # MSM); the CPU path still plans on host from a fetched copy
+        h_limbs = h_dev if jax.default_backend() != "cpu" else np.asarray(h_dev)
         del h_dev, a_p, b_p, c_p
     else:
         _vlog("qap domain evals")
@@ -141,28 +143,33 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
     # witness MSMs: repeated scalar values (wires holding bits etc.) are
     # split out and tree-summed — they would otherwise set the Pippenger
     # round bound to their repeat count (observed 647k rounds at 1.6M
-    # wires from the ~650k bit-valued wires)
+    # wires from the ~650k bit-valued wires). The witness limbs are
+    # uploaded ONCE and shared by the a/b1/c/b2 MSMs (device planning
+    # needs no per-MSM host data).
+    w_dev = jnp.asarray(w_limbs)
     _vlog("a-query MSM")
     a_acc = M2.msm_tpu_heavy_split(
-        BN254_G1, pk.a_query, w_limbs, bn254.g1_add, bn254.g1_mul)
+        BN254_G1, pk.a_query, w_limbs, bn254.g1_add, bn254.g1_mul,
+        scalars_dev=w_dev)
     _vlog("b1-query MSM")
     b1_acc = M2.msm_tpu_heavy_split(
-        BN254_G1, pk.b1_query, w_limbs, bn254.g1_add, bn254.g1_mul)
+        BN254_G1, pk.b1_query, w_limbs, bn254.g1_add, bn254.g1_mul,
+        scalars_dev=w_dev)
     _vlog("c-query MSM")
     c_acc = M2.msm_tpu_heavy_split(
         BN254_G1, pk.c_query, w_limbs[pk.n_public + 1 :],
-        bn254.g1_add, bn254.g1_mul)
+        bn254.g1_add, bn254.g1_mul,
+        scalars_dev=w_dev[pk.n_public + 1 :])
     _vlog("h-query MSM")
-    plan_h = M2.plan_msm(h_limbs, 254, M2.auto_c(len(pk.h_query)),
-                         np.asarray(pk.h_query.valid))
     h_xs = jnp.asarray(pk.h_query.xs)
     h_ys = jnp.asarray(pk.h_query.ys)
     h_acc_d = M2.msm_tpu(BN254_G1, h_xs, h_ys, h_limbs,
-                         point_valid=jnp.asarray(pk.h_query.valid), plan=plan_h)
+                         c=M2.auto_c(len(pk.h_query)),
+                         point_valid=jnp.asarray(pk.h_query.valid))
     _vlog("b2-query G2 MSM")
     b2_acc = M2.msm_tpu_heavy_split(
         BN254_G2, pk.b2_query, w_limbs, bn254.g2_add, bn254.g2_mul,
-        use_tree=True)
+        use_tree=True, scalars_dev=w_dev)
 
     _vlog("decode proof points")
     h_acc = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], h_acc_d))[0]

@@ -160,18 +160,19 @@ def _vlog(msg: str) -> None:
         print(f"[zkpoa:setup] {msg}", file=sys.stderr, flush=True)
 
 
-def _g1_query_device(scalars_limbs: np.ndarray, spill: bool = False) -> DeviceG1Points:
+def _g1_query_device(scalars_limbs, spill: bool = False) -> DeviceG1Points:
     """[k_i * G1] as Montgomery affine arrays, chunked fixed-base + one
-    Fermat batch inversion per chunk. With spill=True each chunk is fetched
-    to host numpy as it completes, so HBM never holds the whole table."""
+    Fermat batch inversion per chunk. Accepts host numpy OR device jnp
+    plain-limb scalars. With spill=True each chunk is fetched to host
+    numpy as it completes, so HBM never holds the whole table."""
     n = scalars_limbs.shape[0]
     xs_parts, ys_parts, val_parts = [], [], []
     for off in range(0, n, SETUP_CHUNK):
         _vlog(f"g1 query chunk {off}/{n}")
-        chunk = scalars_limbs[off : off + SETUP_CHUNK]
-        pad = max(_pad_pow2(len(chunk)), 64) - len(chunk)
-        sc = jnp.asarray(
-            np.concatenate([chunk, np.zeros((pad, chunk.shape[1]), np.uint32)])
+        chunk = jnp.asarray(scalars_limbs[off : off + SETUP_CHUNK])
+        pad = max(_pad_pow2(chunk.shape[0]), 64) - chunk.shape[0]
+        sc = (
+            jnp.concatenate([chunk, jnp.zeros((pad, chunk.shape[1]), jnp.uint32)])
             if pad
             else chunk
         )
@@ -179,7 +180,7 @@ def _g1_query_device(scalars_limbs: np.ndarray, spill: bool = False) -> DeviceG1
             BN254_G1, "bn254_g1", bn254.G1_GEN, bn254.g1_add, sc, 254
         )
         xs, ys, valid = curve_jax.jac_to_affine_mont(BN254_G1.field, jac)
-        m = len(chunk)
+        m = chunk.shape[0]
         if spill:
             xs_parts.append(np.asarray(xs[:m]))
             ys_parts.append(np.asarray(ys[:m]))
@@ -192,17 +193,17 @@ def _g1_query_device(scalars_limbs: np.ndarray, spill: bool = False) -> DeviceG1
     return DeviceG1Points(cat(xs_parts), cat(ys_parts), cat(val_parts))
 
 
-def _g2_query_device(scalars_limbs: np.ndarray, spill: bool = False) -> DeviceG2Points:
+def _g2_query_device(scalars_limbs, spill: bool = False) -> DeviceG2Points:
     from ..ops.fp2_jax import g2_jac_to_affine_mont
 
     n = scalars_limbs.shape[0]
     xs_parts, ys_parts, val_parts = [], [], []
     for off in range(0, n, SETUP_CHUNK):
         _vlog(f"g2 query chunk {off}/{n}")
-        chunk = scalars_limbs[off : off + SETUP_CHUNK]
-        pad = max(_pad_pow2(len(chunk)), 64) - len(chunk)
-        sc = jnp.asarray(
-            np.concatenate([chunk, np.zeros((pad, chunk.shape[1]), np.uint32)])
+        chunk = jnp.asarray(scalars_limbs[off : off + SETUP_CHUNK])
+        pad = max(_pad_pow2(chunk.shape[0]), 64) - chunk.shape[0]
+        sc = (
+            jnp.concatenate([chunk, jnp.zeros((pad, chunk.shape[1]), jnp.uint32)])
             if pad
             else chunk
         )
@@ -210,7 +211,7 @@ def _g2_query_device(scalars_limbs: np.ndarray, spill: bool = False) -> DeviceG2
             BN254_G2, "bn254_g2", bn254.G2_GEN, bn254.g2_add, sc, 254
         )
         xs, ys, valid = g2_jac_to_affine_mont(jac)
-        m = len(chunk)
+        m = chunk.shape[0]
         grab = (lambda a: np.asarray(a[:m])) if spill else (lambda a: a[:m])
         xs_parts.append(jax.tree.map(grab, xs))
         ys_parts.append(jax.tree.map(grab, ys))
@@ -265,6 +266,133 @@ def qap_evaluate_at_tau(r1cs: R1CS, tau: int, domain_size: int):
     for i, wire, coeff in r1cs.c_rows:
         c_t[wire] = (c_t[wire] + coeff * lag[i]) % R
     return a_t, b_t, c_t, z_tau
+
+
+def _dev_pow_table(base: int, count: int, scale: int = 1) -> jnp.ndarray:
+    """[scale·base^i for i < count] as Montgomery limbs on device via a
+    binary masked build (2·log2(count) full-width muls — fully parallel,
+    no sequential power ladder)."""
+    from ..ops.limbs import BN254_FR
+    from ..ops import limbs as L
+
+    spec = BN254_FR
+    bits = max((count - 1).bit_length(), 1)
+    base_m = spec.encode([base % R])[0]
+    scale_m = spec.encode([scale % R])
+    idx = jnp.arange(count, dtype=jnp.uint32)
+    t = jnp.broadcast_to(scale_m, (count, spec.n_limbs))
+
+    def body(b, carry):
+        t, s = carry
+        bit = (idx >> b) & 1
+        t2 = L.mont_mul(spec, t, s)
+        t = jnp.where((bit == 1)[:, None], t2, t)
+        return t, L.mont_mul(spec, s, s)
+
+    t, _ = jax.lax.fori_loop(0, bits, body, (t, base_m))
+    return t
+
+
+def _lagrange_at_tau_device(m: int, tau: int, shift_div: int = 1):
+    """Lagrange values L_i(tau/shift_div)·stuff as PLAIN limbs [m, K] on
+    device: roots by masked power build, denominators inverted with the
+    batched Fermat kernel. Returns (lag_mont [m, K], roots_mont, z_at)
+    with lag_i = z_at·w^i / (m·(t' − w^i)), t' = tau/shift_div, z_at =
+    t'^m − 1 — exactly qap_evaluate_at_tau's host math, vectorized."""
+    from ..ops import limbs as L
+    from ..ops.limbs import BN254_FR
+    from ..ops.ntt import domain_root
+
+    spec = BN254_FR
+    w = domain_root(m.bit_length() - 1)
+    tp = tau * pow(shift_div, -1, R) % R
+    z_at = (pow(tp, m, R) - 1) % R
+    if z_at == 0:
+        raise ValueError("tau hit the domain; pick another seed")
+    roots = _dev_pow_table(w, m)  # mont
+    tp_m = jnp.broadcast_to(spec.encode([tp])[0], (m, spec.n_limbs))
+    dinv = L.mont_inv(spec, L.sub_mod(spec, tp_m, roots))
+    scale = z_at * pow(m, -1, R) % R
+    lag = L.mont_mul(spec, roots, dinv)
+    lag = L.mont_mul(spec, lag, spec.encode([scale])[0])
+    return lag, roots, z_at
+
+
+def _setup_scalars_device(r1cs: R1CS, seed: str, h_basis: str):
+    """_setup_scalars with the QAP-at-tau evaluation, query scalar lists
+    and h powers computed ON DEVICE as limb arrays (the host loop walked
+    ~30M sparse rows of Python bigint math — minutes per layer-2 setup).
+    Returns the same dict shape, with a_t/b_t/c_scalars/h_scalars as
+    PLAIN-limb arrays and ic_scalars as host ints (O(n_public))."""
+    from ..ops import limbs as L
+    from ..ops.limbs import BN254_FR
+    from ..ops.ntt import snarkjs_coset_shift
+    from ..ops.qap_eval import eval_at_tau_device
+
+    spec = BN254_FR
+    tau = _hash_to_fr(seed, "tau")
+    alpha = _hash_to_fr(seed, "alpha")
+    beta = _hash_to_fr(seed, "beta")
+    gamma = _hash_to_fr(seed, "gamma")
+    delta = _hash_to_fr(seed, "delta")
+
+    m = 1
+    while m < max(r1cs.n_constraints, 2):
+        m <<= 1
+
+    lag_m, _roots, z_tau = _lagrange_at_tau_device(m, tau)
+    lag_plain = spec.from_mont(lag_m)
+    a_t, b_t, c_t = eval_at_tau_device(r1cs.pack(), lag_plain, r1cs.n_wires)
+
+    gamma_inv = pow(gamma, -1, R)
+    delta_inv = pow(delta, -1, R)
+    n_pub = r1cs.n_public
+    n_vars = r1cs.n_wires
+
+    # t_all = beta·a_t + alpha·b_t + c_t (plain limbs)
+    t_all = L.add_mod(
+        spec,
+        L.add_mod(
+            spec,
+            L.mont_mul(spec, a_t, spec.encode([beta])[0]),
+            L.mont_mul(spec, b_t, spec.encode([alpha])[0]),
+        ),
+        c_t,
+    )
+    ic_scalars = [int(x) for x in spec.from_limbs(np.asarray(t_all[: n_pub + 1]))]
+    ic_scalars = [x * gamma_inv % R for x in ic_scalars]
+    c_scalars = L.mont_mul(spec, t_all[n_pub + 1 :], spec.encode([delta_inv])[0])
+
+    if h_basis == "monomial":
+        h_scalars = spec.from_mont(
+            _dev_pow_table(tau, m - 1, scale=z_tau * delta_inv % R)
+        )
+    elif h_basis == "coset":
+        g = snarkjs_coset_shift(m.bit_length() - 1)
+        zc_inv = pow((pow(g, m, R) - 1) % R, -1, R)
+        lag_c, _r2, _zp = _lagrange_at_tau_device(m, tau, shift_div=g)
+        h_scalars = spec.from_mont(
+            L.mont_mul(
+                spec, lag_c, spec.encode([z_tau * zc_inv % R * delta_inv % R])[0]
+            )
+        )
+    else:
+        raise ValueError(f"unknown h_basis {h_basis!r}")
+
+    return {
+        "m": m,
+        "n_pub": n_pub,
+        "n_vars": n_vars,
+        "a_t": a_t,  # plain limb arrays (device)
+        "b_t": b_t,
+        "c_scalars": c_scalars,
+        "h_scalars": h_scalars,
+        "ic_scalars": ic_scalars,  # host ints
+        "alpha": alpha,
+        "beta": beta,
+        "gamma": gamma,
+        "delta": delta,
+    }
 
 
 def _setup_scalars(r1cs: R1CS, seed: str, h_basis: str):
@@ -411,10 +539,18 @@ def setup_device(
     dominate. Scalar math is identical to setup(); only the point tables'
     residency differs. The few standalone points (alpha/beta/delta, IC)
     stay host-side (they are O(n_public))."""
+    import os
+
     from ..ops.msm_pallas import scalars_to_limbs_fast
 
-    _vlog(f"setup_device: host QAP scalars ({r1cs.n_constraints} constraints)")
-    s = _setup_scalars(r1cs, seed, h_basis)
+    if os.environ.get("ZKPOA_HOST_SETUP") == "1":
+        _vlog(f"setup_device: host QAP scalars ({r1cs.n_constraints} constraints)")
+        s = _setup_scalars(r1cs, seed, h_basis)
+        enc = scalars_to_limbs_fast
+    else:
+        _vlog(f"setup_device: device QAP scalars ({r1cs.n_constraints} constraints)")
+        s = _setup_scalars_device(r1cs, seed, h_basis)
+        enc = lambda x: x  # already plain limb arrays  # noqa: E731
     n_vars, n_pub, m = s["n_vars"], s["n_pub"], s["m"]
     a_t, b_t = s["a_t"], s["b_t"]
     c_scalars, h_scalars, ic_scalars = s["c_scalars"], s["h_scalars"], s["ic_scalars"]
@@ -424,15 +560,15 @@ def setup_device(
     if spill:
         _vlog("setup_device: key exceeds HBM budget — spilling to host RAM")
     _vlog("setup_device: a_query")
-    a_query = _g1_query_device(scalars_to_limbs_fast(a_t), spill)
+    a_query = _g1_query_device(enc(a_t), spill)
     _vlog("setup_device: b1_query")
-    b1_query = _g1_query_device(scalars_to_limbs_fast(b_t), spill)
+    b1_query = _g1_query_device(enc(b_t), spill)
     _vlog("setup_device: c_query")
-    c_query = _g1_query_device(scalars_to_limbs_fast(c_scalars), spill)
+    c_query = _g1_query_device(enc(c_scalars), spill)
     _vlog("setup_device: h_query")
-    h_query = _g1_query_device(scalars_to_limbs_fast(h_scalars), spill)
+    h_query = _g1_query_device(enc(h_scalars), spill)
     _vlog("setup_device: b2_query (G2)")
-    b2_query = _g2_query_device(scalars_to_limbs_fast(b_t), spill)
+    b2_query = _g2_query_device(enc(b_t), spill)
     _vlog("setup_device: done")
 
     small = _g1_points_from_scalars(ic_scalars + [alpha, beta, delta])
