@@ -148,3 +148,43 @@ def test_msm_host_plan_path_matches():
     res2 = M2._msm_fused_tree(BN254_G1, plan, xs, ys, jnp.asarray(sc), valid, hp)
     got2 = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], res2))[0]
     assert got2 == _host_sum(pts, scalars)
+
+
+def test_witness_plan_shared_tree_matches_heavy_split():
+    """ONE shared device plan serving several query tables (the prover's
+    a/b1/b2 path): per-query infinity masks apply at accumulation time;
+    results must match the per-query heavy-split MSM exactly."""
+    rng = np.random.default_rng(21)
+    n = 300
+    pts = [bn254.g1_mul(bn254.G1_GEN, int(k) + 1)
+           for k in rng.integers(1, 10**6, size=n)]
+    scalars = [int.from_bytes(rng.bytes(32), "big") % bn254.R for _ in range(n)]
+    # heavy repeated values (bit-like wires) + zeros
+    for i in range(0, 280, 1):
+        scalars[i] = int(rng.integers(0, 2))
+    sc = M2.scalars_to_limbs_fast(scalars)
+    sc_dev = jnp.asarray(sc)
+
+    import zkpoa_tpu.ops.msm_pallas as MP
+
+    old = MP.HEAVY_COUNT_MIN
+    MP.HEAVY_COUNT_MIN = 8
+    try:
+        wplan = M2.plan_witness_msms(sc, sc_dev, c=5)
+        for seed in (0, 1):
+            valid = np.ones(n, dtype=bool)
+            valid[rng.integers(0, n, size=20)] = False
+            xs, ys, _ = BN254_G1.encode_affine(pts)
+
+            class Q:
+                pass
+
+            q = Q()
+            q.xs, q.ys, q.valid = xs, ys, jnp.asarray(valid)
+            got = M2.msm_shared(BN254_G1, q, wplan, bn254.g1_add, bn254.g1_mul,
+                                use_tree=True)
+            want = M2.msm_tpu_heavy_split(
+                BN254_G1, q, sc, bn254.g1_add, bn254.g1_mul, c=5, use_tree=True)
+            assert got == want
+    finally:
+        MP.HEAVY_COUNT_MIN = old

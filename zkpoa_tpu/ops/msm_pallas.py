@@ -589,7 +589,7 @@ def _accum_scan_kernel(ax_ref, ay_ref, az_ref, ae_ref, px_ref, py_ref, v_ref,
 
 
 def _groups_scan_core(curve, plan: MsmPlan, rg: int, xs, ys_ext, order_y,
-                      b_start, b_end, n_groups):
+                      b_start, b_end, n_groups, q_valid=None):
     """Traced core of the grouped MSM accumulation: a fori_loop over round
     groups, each step gathering one [rg, K, L] stream slice and running
     the Pallas bucket kernel. `n_groups` is TRACED, so the compile key is
@@ -625,7 +625,13 @@ def _groups_scan_core(curve, plan: MsmPlan, rg: int, xs, ys_ext, order_y,
         idx = jnp.where(sign, idx_flat - n, idx_flat)
         px = jnp.transpose(xs[idx].reshape(rg, lanes, k), (0, 2, 1))
         py = jnp.transpose(ys_ext[idx_flat].reshape(rg, lanes, k), (0, 2, 1))
-        v = valid.reshape(rg, lanes).astype(jnp.uint32)
+        v = valid.reshape(rg, lanes)
+        if q_valid is not None:
+            # per-query invalidity applied at accumulation time — lets one
+            # shared sort (from the scalars alone) serve several query
+            # tables with different infinity masks
+            v = jnp.logical_and(v, q_valid[idx].reshape(rg, lanes))
+        v = v.astype(jnp.uint32)
         ax, ay, az, ae = pl.pallas_call(
             kernel,
             out_shape=[jax.ShapeDtypeStruct((k, lanes), jnp.uint32)] * 3
@@ -652,6 +658,17 @@ def _msm_groups_scan(curve, plan: MsmPlan, rg: int, xs, ys_ext, order_y,
                              b_start, b_end, n_groups)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _plan_dev(plan: MsmPlan, scalars, plan_valid):
+    """Device planning alone: (order_y, b_start, b_end, n_occ). One sort
+    (the expensive part — ~620ms at [24, 2^20]) can be shared by every
+    MSM over the same scalars (the prover's a/b1/b2 witness queries)."""
+    slots, signs = _digits_signed_jnp(scalars, plan)
+    order_y, _ox, b_start, b_end = _sort_and_starts(slots, signs, plan_valid, plan)
+    occ = jnp.maximum(jnp.max(b_end - b_start), 1)
+    return order_y, b_start, b_end, occ
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _msm_device_planned(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
                         point_valid):
@@ -664,13 +681,23 @@ def _msm_device_planned(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
     live in HBM (the h-operand straight out of the NTT). `plan` carries
     rounds=rg so one executable serves every occupancy."""
     spec = curve.field
-    slots, signs = _digits_signed_jnp(scalars, plan)
-    order_y, _ox, b_start, b_end = _sort_and_starts(slots, signs, point_valid, plan)
-    occ = jnp.maximum(jnp.max(b_end - b_start), 1)
+    order_y, b_start, b_end, occ = _plan_dev(plan, scalars, point_valid)
     n_groups = (occ + rg - 1) // rg
     ys_ext = jnp.concatenate([ys, L.sub_mod(spec, jnp.zeros_like(ys), ys)], axis=0)
     return _groups_scan_core(curve, plan, rg, xs, ys_ext, order_y,
                              b_start, b_end, n_groups)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _msm_accum_shared(curve, plan: MsmPlan, rg: int, xs, ys,
+                      order_y, b_start, b_end, occ, q_valid):
+    """Grouped accumulation against a SHARED device plan, with the
+    query's own infinity mask applied per gathered lane."""
+    spec = curve.field
+    n_groups = (occ + rg - 1) // rg
+    ys_ext = jnp.concatenate([ys, L.sub_mod(spec, jnp.zeros_like(ys), ys)], axis=0)
+    return _groups_scan_core(curve, plan, rg, xs, ys_ext, order_y,
+                             b_start, b_end, n_groups, q_valid=q_valid)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -889,13 +916,19 @@ def _tree_device_planned(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
     grouped unified-add accumulation + weighted reduce in one program,
     traced group count (one compile per geometry — see
     _msm_device_planned for why host planning was abandoned)."""
+    order_y, b_start, b_end, occ = _plan_dev(plan, scalars, point_valid)
+    return _tree_accum_shared(curve, plan, rg, xs, ys,
+                              order_y, b_start, b_end, occ, None)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _tree_accum_shared(curve, plan: MsmPlan, rg: int, xs, ys,
+                       order_y, b_start, b_end, occ, q_valid):
+    """Pytree (G2) grouped accumulation against a shared device plan."""
     from .curve_jax import jac_add_affine
 
     n, lanes, nb, nw = plan.n, plan.lanes, plan.nb, plan.nw
     ar = curve.arith()
-    slots, signs = _digits_signed_jnp(scalars, plan)
-    order_y, _ox, b_start, b_end = _sort_and_starts(slots, signs, point_valid, plan)
-    occ = jnp.maximum(jnp.max(b_end - b_start), 1)
     n_groups = (occ + rg - 1) // rg
 
     def body(g, acc):
@@ -907,6 +940,9 @@ def _tree_device_planned(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
         idx2 = idx_y.reshape(rg, lanes)
         sign2 = idx2 >= n
         idx2 = jnp.where(sign2, idx2 - n, idx2)
+        v2 = valid.reshape(rg, lanes)
+        if q_valid is not None:
+            v2 = jnp.logical_and(v2, q_valid[idx2])
 
         def round_step(a, xs_in):
             ixr, sgr, vr = xs_in
@@ -915,9 +951,7 @@ def _tree_device_planned(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
             pyg = ar.select(sgr, ar.sub(ar.zeros_like(pyg), pyg), pyg)
             return jac_add_affine(ar, a, pxg, pyg, vr), None
 
-        acc, _ = jax.lax.scan(
-            round_step, acc, (idx2, sign2, valid.reshape(rg, lanes))
-        )
+        acc, _ = jax.lax.scan(round_step, acc, (idx2, sign2, v2))
         return acc
 
     acc = jax.lax.fori_loop(0, n_groups, body, curve.infinity((lanes,)))
@@ -1094,6 +1128,90 @@ def msm_tpu_heavy_split(curve, query, scalars_limbs: np.ndarray, host_add,
     sc = scalars_dev if scalars_dev is not None else scalars_limbs
     res = msm_fn(curve, q_xs, q_ys, sc, c=c,
                  point_valid=jnp.asarray(main_mask))
+    out = curve.decode_jac(_tmap(lambda a: a[None], res))[0]
+    if extra is not None:
+        out = host_add(out, extra) if out is not None else extra
+    return out
+
+
+class WitnessMsmPlan:
+    """Shared device plan + heavy-value analysis for several query tables
+    over the SAME scalar vector — the prover's a/b1/b2 witness MSMs pay
+    ONE digit recode + bucket sort (the sort is ~0.6s at 2^20) instead of
+    three. Per-query infinity masks apply at accumulation time."""
+
+    def __init__(self, geo, order_y, b_start, b_end, occ, heavy, scalars_np):
+        self.geo = geo
+        self.order_y = order_y
+        self.b_start = b_start
+        self.b_end = b_end
+        self.occ = occ
+        self.heavy = heavy  # [(value, np indices)] repeated-value terms
+        self.scalars_np = scalars_np  # kept for the rare unified fallback
+
+
+def plan_witness_msms(scalars_limbs: np.ndarray, scalars_dev,
+                      c: Optional[int] = None) -> WitnessMsmPlan:
+    """Heavy-value analysis (host) + ONE device plan for all query tables
+    sharing these scalars."""
+    n = scalars_limbs.shape[0]
+    if c is None:
+        c = auto_c(n)
+    uniq, inverse, counts = np.unique(
+        scalars_limbs, axis=0, return_inverse=True, return_counts=True
+    )
+    mask = np.ones(n, dtype=bool)
+    heavy = []
+    for u in np.where(counts >= HEAVY_COUNT_MIN)[0]:
+        val = 0
+        for j in range(uniq.shape[1] - 1, -1, -1):
+            val = (val << LIMB_BITS) | int(uniq[u, j])
+        sel = np.where(inverse == u)[0]
+        mask[sel] = False
+        if val != 0:
+            heavy.append((val, sel))
+    geo = MsmPlan(254, c, n, RG_ROUNDS)
+    oy, bs, be, occ = _plan_dev(geo, scalars_dev, jnp.asarray(mask))
+    return WitnessMsmPlan(geo, oy, bs, be, occ, heavy, scalars_limbs)
+
+
+def msm_shared(curve, query, wplan: WitnessMsmPlan, host_add, host_mul,
+               use_tree: bool = False):
+    """One query-table MSM against a shared witness plan. Returns a host
+    affine point (None = infinity) — same contract as
+    msm_tpu_heavy_split."""
+    if jax.default_backend() == "cpu" and not use_tree:
+        # the Pallas accumulation core is TPU-only; CPU (tests) takes the
+        # unified per-query path
+        return msm_tpu_heavy_split(
+            curve, query, wplan.scalars_np, host_add, host_mul,
+            c=wplan.geo.c, use_tree=use_tree)
+    pv = np.asarray(query.valid)
+    q_xs = jax.tree.map(jnp.asarray, query.xs)
+    q_ys = jax.tree.map(jnp.asarray, query.ys)
+    extra = None
+    for val, sel in wplan.heavy:
+        sel_v = sel[pv[sel]]
+        ssum = _tree_sum_subset(curve, q_xs, q_ys, sel_v)
+        if ssum is not None:
+            contrib = host_mul(ssum, val) if val != 1 else ssum
+            extra = host_add(extra, contrib) if extra is not None else contrib
+    qv = jnp.asarray(pv)
+    if use_tree:
+        res = _tree_accum_shared(
+            curve, wplan.geo, RG_ROUNDS, q_xs, q_ys,
+            wplan.order_y, wplan.b_start, wplan.b_end, wplan.occ, qv)
+    else:
+        ax, ay, az, ae = _msm_accum_shared(
+            curve, wplan.geo, RG_ROUNDS, q_xs, q_ys,
+            wplan.order_y, wplan.b_start, wplan.b_end, wplan.occ, qv)
+        if int(jnp.sum(ae[0])) != 0:
+            # in-bucket doubling (distinct-point tables never hit this):
+            # re-run the whole query through the unified host-planned path
+            return msm_tpu_heavy_split(
+                curve, query, wplan.scalars_np, host_add, host_mul,
+                c=wplan.geo.c, use_tree=use_tree)
+        res = _msm_reduce_stage(curve, wplan.geo, ax, ay, az)
     out = curve.decode_jac(_tmap(lambda a: a[None], res))[0]
     if extra is not None:
         out = host_add(out, extra) if out is not None else extra

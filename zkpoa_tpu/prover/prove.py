@@ -147,14 +147,34 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
     # uploaded ONCE and shared by the a/b1/c/b2 MSMs (device planning
     # needs no per-MSM host data).
     w_dev = jnp.asarray(w_limbs)
-    _vlog("a-query MSM")
-    a_acc = M2.msm_tpu_heavy_split(
-        BN254_G1, pk.a_query, w_limbs, bn254.g1_add, bn254.g1_mul,
-        scalars_dev=w_dev)
-    _vlog("b1-query MSM")
-    b1_acc = M2.msm_tpu_heavy_split(
-        BN254_G1, pk.b1_query, w_limbs, bn254.g1_add, bn254.g1_mul,
-        scalars_dev=w_dev)
+    if jax.default_backend() != "cpu":
+        # ONE device plan (digit recode + bucket sort) shared by the
+        # a/b1/b2 witness MSMs; per-query infinity masks apply inside
+        # the accumulation
+        _vlog("witness MSM plan (shared)")
+        wplan = M2.plan_witness_msms(w_limbs, w_dev)
+        _vlog("a-query MSM")
+        a_acc = M2.msm_shared(BN254_G1, pk.a_query, wplan,
+                              bn254.g1_add, bn254.g1_mul)
+        _vlog("b1-query MSM")
+        b1_acc = M2.msm_shared(BN254_G1, pk.b1_query, wplan,
+                               bn254.g1_add, bn254.g1_mul)
+        _vlog("b2-query G2 MSM")
+        b2_acc = M2.msm_shared(BN254_G2, pk.b2_query, wplan,
+                               bn254.g2_add, bn254.g2_mul, use_tree=True)
+    else:
+        _vlog("a-query MSM")
+        a_acc = M2.msm_tpu_heavy_split(
+            BN254_G1, pk.a_query, w_limbs, bn254.g1_add, bn254.g1_mul,
+            scalars_dev=w_dev)
+        _vlog("b1-query MSM")
+        b1_acc = M2.msm_tpu_heavy_split(
+            BN254_G1, pk.b1_query, w_limbs, bn254.g1_add, bn254.g1_mul,
+            scalars_dev=w_dev)
+        _vlog("b2-query G2 MSM")
+        b2_acc = M2.msm_tpu_heavy_split(
+            BN254_G2, pk.b2_query, w_limbs, bn254.g2_add, bn254.g2_mul,
+            use_tree=True, scalars_dev=w_dev)
     _vlog("c-query MSM")
     c_acc = M2.msm_tpu_heavy_split(
         BN254_G1, pk.c_query, w_limbs[pk.n_public + 1 :],
@@ -166,10 +186,6 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
     h_acc_d = M2.msm_tpu(BN254_G1, h_xs, h_ys, h_limbs,
                          c=M2.auto_c(len(pk.h_query)),
                          point_valid=jnp.asarray(pk.h_query.valid))
-    _vlog("b2-query G2 MSM")
-    b2_acc = M2.msm_tpu_heavy_split(
-        BN254_G2, pk.b2_query, w_limbs, bn254.g2_add, bn254.g2_mul,
-        use_tree=True, scalars_dev=w_dev)
 
     _vlog("decode proof points")
     h_acc = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], h_acc_d))[0]
