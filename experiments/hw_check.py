@@ -1,0 +1,238 @@
+#!/usr/bin/env python3
+"""Staged hardware correctness harness: isolates which device stage of the
+prover breaks on the real chip (CPU tests can't see TPU-only paths — the
+Pallas accumulation, donation/fori behavior, scatter-adds at scale).
+
+Stages (each prints OK/FAIL and exact mismatch counts):
+  1. toy prove+verify (small domain, device-planned MSMs)
+  2. qap_eval device SpMV vs exact host loop at ~200k rows
+  3. blocked quotient vs host-computed h at 2^18
+  4. device-planned G1 MSM on WITNESS-LIKE scalars (bit values, repeats,
+     zeros, masks) vs exact host sum
+  5. shared witness plan (a/b1-style) + G2 tree path vs host
+  6. mid-size prove+verify (~300k constraints: heavy-split + device key)
+
+Usage: python experiments/hw_check.py [stage...]   (default: all)
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/zkpoa_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from zkpoa_tpu.fields import bn254  # noqa: E402
+from zkpoa_tpu.fields.bn254 import R  # noqa: E402
+from zkpoa_tpu.models.gadgets.poseidon_gadget import poseidon  # noqa: E402
+from zkpoa_tpu.models.r1cs import Circuit  # noqa: E402
+from zkpoa_tpu.ops import msm_pallas as M2  # noqa: E402
+from zkpoa_tpu.ops.curve_jax import BN254_G1  # noqa: E402
+from zkpoa_tpu.ops.limbs import BN254_FR  # noqa: E402
+from zkpoa_tpu.prover import groth16  # noqa: E402
+from zkpoa_tpu.prover.prove import prove  # noqa: E402
+from zkpoa_tpu.prover.setup import setup_device  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _poseidon_chain_circuit(depth: int):
+    c = Circuit()
+    out = c.public_output()
+    x = c.var(7)
+    y = c.var(11)
+    h = poseidon(c, [x, y])
+    for _ in range(depth):
+        h = poseidon(c, [h, y])
+    c.bind_output(out, h)
+    return c, c.compile()
+
+
+def stage1():
+    log("--- stage 1: toy prove+verify")
+    c, (r1, w1) = _poseidon_chain_circuit(0)
+    pk = setup_device(r1, seed="hwchk")
+    pf = prove(pk, r1, w1, seed="s1")
+    vk = groth16.VerifyingKey.from_json(pk.vk_json)
+    ok = groth16.verify(vk, pf, c.public_values)
+    log(f"stage1 toy prove: {'OK' if ok else 'FAIL'}")
+    return ok
+
+
+def stage2():
+    log("--- stage 2: device qap_eval vs host")
+    from zkpoa_tpu.ops.qap_eval import eval_matrices_device
+
+    c, (r1, w1) = _poseidon_chain_circuit(400)  # ~100k constraints
+    domain = 1
+    while domain < r1.n_constraints:
+        domain <<= 1
+    a_h, b_h, c_h = r1.eval_matrices(w1)
+    wl = M2.scalars_to_limbs_fast([int(x) % R for x in w1])
+    a_d, b_d, c_d = eval_matrices_device(r1.pack(), wl, domain)
+    ok = True
+    for name, dev, host in (("a", a_d, a_h), ("b", b_d, b_h), ("c", c_d, c_h)):
+        got = [int(x) for x in BN254_FR.from_limbs(np.asarray(dev))[: len(host)]]
+        bad = sum(1 for g, h in zip(got, host) if g != h)
+        log(f"stage2 {name}: {bad} mismatches / {len(host)}")
+        ok &= bad == 0
+    log(f"stage2: {'OK' if ok else 'FAIL'}")
+    return ok
+
+
+def stage3():
+    log("--- stage 3: blocked quotient vs host reference")
+    from zkpoa_tpu.ops.ntt_blocked import quotient_blocked
+
+    n = 1 << 18
+    rng = np.random.default_rng(5)
+    a_v = [int.from_bytes(rng.bytes(32), "little") % R for _ in range(n)]
+    b_v = [int.from_bytes(rng.bytes(32), "little") % R for _ in range(n)]
+    c_v = [a * b % R for a, b in zip(a_v, b_v)]
+    h_dev = quotient_blocked(
+        M2.scalars_to_limbs_fast(a_v), M2.scalars_to_limbs_fast(b_v),
+        M2.scalars_to_limbs_fast(c_v), h_basis="monomial")
+    h = [int(x) for x in BN254_FR.from_limbs(np.asarray(h_dev))]
+    # spot-check the QAP identity at a random point: A(x)B(x)-C(x) == h(x)Z(x)
+    from zkpoa_tpu.ops.ntt import domain_root
+
+    w = domain_root(18)
+    x0 = 0xABCDE12345
+    # interpolate via evaluation sums is heavy; instead check h by the
+    # identity on 3 random DOMAIN points shifted: use coset evaluation
+    # equivalence through a second basis computation
+    h2_dev = quotient_blocked(
+        M2.scalars_to_limbs_fast(a_v), M2.scalars_to_limbs_fast(b_v),
+        M2.scalars_to_limbs_fast(c_v), h_basis="coset")
+    # verify coset identity pointwise at 4 random coset indices on host
+    from zkpoa_tpu.ops.ntt import snarkjs_coset_shift
+
+    h2 = [int(x) for x in BN254_FR.from_limbs(np.asarray(h2_dev))]
+    g = snarkjs_coset_shift(18)
+    ok = True
+    # h (monomial coeffs) evaluated at coset node j must equal h2[j]/Z const
+    # Z on this coset is constant -2; h2 = (A·B-C) on coset = h * Z
+    for j in (0, 1, 12345, n - 1):
+        xj = g * pow(w, j, R) % R
+        hv = 0
+        for co in reversed(h):
+            hv = (hv * xj + co) % R
+        want = hv * (pow(xj, n, R) - 1) % R
+        if want != h2[j]:
+            log(f"stage3 mismatch at coset idx {j}")
+            ok = False
+    log(f"stage3: {'OK' if ok else 'FAIL'}")
+    return ok
+
+
+def _host_msm(pts, scalars):
+    acc = None
+    for p, s in zip(pts, scalars):
+        if p is None or s == 0:
+            continue
+        acc = bn254.g1_add(acc, bn254.g1_mul(p, s))
+    return acc
+
+
+def stage4():
+    log("--- stage 4: device-planned G1 MSM on witness-like scalars")
+    rng = np.random.default_rng(6)
+    n = 1 << 15
+    gen_mults = [int(k) + 1 for k in rng.integers(1, 1 << 30, size=n)]
+    pts = [bn254.g1_mul(bn254.G1_GEN, k) for k in gen_mults]
+    scalars = [int.from_bytes(rng.bytes(32), "big") % R for _ in range(n)]
+    # witness-like: many bits, zeros, small values, a few repeats
+    for i in range(0, n // 2):
+        scalars[i] = int(rng.integers(0, 2))
+    for i in range(n // 2, n // 2 + 500):
+        scalars[i] = 0
+    valid = np.ones(n, dtype=bool)
+    valid[rng.integers(0, n, size=100)] = False
+    xs, ys, _ = BN254_G1.encode_affine(pts)
+    sc = M2.scalars_to_limbs_fast(scalars)
+    res = M2.msm_tpu(BN254_G1, xs, ys, jnp.asarray(sc), c=11,
+                     point_valid=jnp.asarray(valid))
+    got = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], res))[0]
+    want_k = sum(s * g for s, g, v in zip(scalars, gen_mults, valid) if v) % R
+    want = bn254.g1_mul(bn254.G1_GEN, want_k) if want_k else None
+    ok = got == want
+    log(f"stage4: {'OK' if ok else 'FAIL'}")
+    return ok
+
+
+def stage5():
+    log("--- stage 5: shared witness plan + G2 tree path")
+    rng = np.random.default_rng(7)
+    n = 1 << 14
+    gen_mults = [int(k) + 1 for k in rng.integers(1, 1 << 30, size=n)]
+    pts = [bn254.g1_mul(bn254.G1_GEN, k) for k in gen_mults]
+    scalars = [int.from_bytes(rng.bytes(32), "big") % R for _ in range(n)]
+    for i in range(0, (2 * n) // 3):
+        scalars[i] = int(rng.integers(0, 2))
+    sc = M2.scalars_to_limbs_fast(scalars)
+    wplan = M2.plan_witness_msms(sc, jnp.asarray(sc))
+    ok = True
+    for trial in range(2):
+        valid = np.ones(n, dtype=bool)
+        valid[rng.integers(0, n, size=50)] = False
+        xs, ys, _ = BN254_G1.encode_affine(pts)
+
+        class Q:
+            pass
+
+        q = Q()
+        q.xs, q.ys, q.valid = xs, ys, jnp.asarray(valid)
+        want_k = sum(s * g for s, g, v in zip(scalars, gen_mults, valid) if v) % R
+        want = bn254.g1_mul(bn254.G1_GEN, want_k) if want_k else None
+        got = M2.msm_shared(BN254_G1, q, wplan, bn254.g1_add, bn254.g1_mul)
+        if got != want:
+            log(f"stage5 pallas-shared trial {trial}: FAIL")
+            ok = False
+        got_t = M2.msm_shared(BN254_G1, q, wplan, bn254.g1_add, bn254.g1_mul,
+                              use_tree=True)
+        if got_t != want:
+            log(f"stage5 tree-shared trial {trial}: FAIL")
+            ok = False
+    log(f"stage5: {'OK' if ok else 'FAIL'}")
+    return ok
+
+
+def stage6():
+    log("--- stage 6: mid-size prove+verify (heavy-split + device key)")
+    c, (r1, w1) = _poseidon_chain_circuit(1300)  # ~320k constraints
+    log(f"stage6 circuit: {r1.n_constraints} constraints")
+    pk = setup_device(r1, seed="hwchk6")
+    pf = prove(pk, r1, w1, seed="s6")
+    vk = groth16.VerifyingKey.from_json(pk.vk_json)
+    ok = groth16.verify(vk, pf, c.public_values)
+    log(f"stage6: {'OK' if ok else 'FAIL'}")
+    return ok
+
+
+STAGES = {"1": stage1, "2": stage2, "3": stage3, "4": stage4, "5": stage5,
+          "6": stage6}
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or list("123456")
+    results = {}
+    for s in which:
+        t0 = time.time()
+        try:
+            results[s] = STAGES[s]()
+        except Exception as e:  # noqa: BLE001
+            log(f"stage{s} EXCEPTION: {e!r}")
+            results[s] = False
+        log(f"stage{s} took {time.time() - t0:.1f}s")
+    print({k: ("OK" if v else "FAIL") for k, v in sorted(results.items())})
+    sys.exit(0 if all(results.values()) else 1)

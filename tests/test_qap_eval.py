@@ -81,3 +81,32 @@ def test_high_fanin_constraint():
     pad = [0] * (domain - len(a_h))
     assert _decode(a_d) == a_h + pad
     assert _decode(c_d) == c_h + pad
+
+
+def test_high_fanin_scatter_target_no_overflow():
+    """A scatter target collecting >= 2^16 rows (the setup's per-wire
+    direction: wire 0 is in nearly every constraint) must take the
+    reduce-every-chunk path — the carry-free adds overflow uint32 there
+    (the round-3 layer-1 hardware verify failure)."""
+    from zkpoa_tpu.models.r1cs import PackedMatrix, PackedR1CS
+    from zkpoa_tpu.ops.qap_eval import eval_at_tau_device
+
+    m = 70_000  # > 2^16 rows, all onto wire 0
+    rows = PackedMatrix(
+        idx=np.zeros(m, np.int32),        # constraint index (gather side)
+        wire=np.zeros(m, np.int32),       # all -> wire 0
+        cid=np.zeros(m, np.int32),        # coeff 1
+    )
+    empty = PackedMatrix(np.zeros(0, np.int32), np.zeros(0, np.int32),
+                         np.zeros(0, np.int32))
+    packed = PackedR1CS(
+        a=rows, b=empty, c=empty,
+        pool_limbs=scalars_to_limbs_fast([1]),
+        n_wires=4, n_public=0, n_constraints=1,
+    )
+    lag_val = 0x1234567890ABCDEF1234567890ABCDEF
+    lag = scalars_to_limbs_fast([lag_val])
+    a_t, b_t, c_t = eval_at_tau_device(packed, lag, 4)
+    got = int(BN254_FR.from_limbs(np.asarray(a_t))[0])
+    assert got == m * lag_val % R
+    assert int(BN254_FR.from_limbs(np.asarray(b_t))[0]) == 0

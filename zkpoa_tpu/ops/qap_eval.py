@@ -29,7 +29,7 @@ pipeline stays on device with one witness upload.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,8 +48,7 @@ def _accum_rows(acc, pool_mont, wit_plain, cid, wire, idx):
     return acc.at[idx].add(prod)
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _mod_reduce_rows(acc):
+def _mod_reduce_core(acc):
     """uint32 [n, K] limb-wise sums -> exact values mod p (plain limbs)."""
     spec = BN254_FR
     k = spec.n_limbs
@@ -64,16 +63,58 @@ def _mod_reduce_rows(acc):
     return L.add_mod(spec, lo, hi)
 
 
+_mod_reduce_rows = partial(jax.jit, donate_argnums=(0,))(_mod_reduce_core)
+
+SAFE_CHUNK = 1 << 16  # rows per scatter chunk on the overflow-safe path:
+# after a modular reduce, acc limbs are < 2^16 (one term); adding 2^16
+# more sub-2^16 products peaks at (2^16-1)(2^16+1) = 2^32 - 1 — exactly
+# the uint32 ceiling.
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _spmv_safe(pool_mont, vec_dev, cid, gat, idx, out_size: int):
+    """Scatter-accumulate with a modular reduce after EVERY 2^16-row
+    chunk: correct for ANY scatter fan-in. The fast path's carry-free
+    adds overflow once one target collects >= 2^16 rows — the setup's
+    per-wire direction hits that immediately (wire 0, the constant,
+    appears in nearly every constraint). One fori program, row arrays
+    pre-padded to a SAFE_CHUNK multiple."""
+    spec = BN254_FR
+    nch = idx.shape[0] // SAFE_CHUNK
+    idx2 = idx.reshape(nch, SAFE_CHUNK)
+    gat2 = gat.reshape(nch, SAFE_CHUNK)
+    cid2 = cid.reshape(nch, SAFE_CHUNK)
+
+    def body(i, acc):
+        prod = L.mont_mul(BN254_FR, pool_mont[cid2[i]], vec_dev[gat2[i]])
+        acc = acc.at[idx2[i]].add(prod)
+        return _mod_reduce_core(acc)
+
+    acc = jnp.zeros((out_size + 1, spec.n_limbs), jnp.uint32)
+    return jax.lax.fori_loop(0, nch, body, acc)[:out_size]
+
+
 def _spmv(scatter_np, gather_np, cid_np, pool_mont, vec_dev,
-          out_size: int) -> jnp.ndarray:
+          out_size: int, max_fanin: Optional[int] = None) -> jnp.ndarray:
     """Generic sparse accumulate: out[scatter] += pool[cid]·vec[gather]
     over packed int32 rows, chunked at fixed shapes. Serves both
     directions: the prover's per-constraint evaluations (scatter =
     constraint, gather = wire) and the setup's per-wire QAP polys at tau
     (scatter = wire, gather = constraint — rapidsnark's zkey_new Lagrange
-    accumulation)."""
+    accumulation). When any scatter target collects >= 2^16 rows (always
+    true per-wire: the constant wire is everywhere), the overflow-safe
+    reduce-every-chunk path runs instead of the carry-free one."""
     spec = BN254_FR
     m = len(scatter_np)
+    if max_fanin is None:
+        max_fanin = int(np.bincount(scatter_np, minlength=1).max()) if m else 0
+    if max_fanin >= SAFE_CHUNK:
+        pad = (-m) % SAFE_CHUNK
+        idx = np.concatenate([scatter_np, np.full(pad, out_size, np.int32)])
+        gat = np.concatenate([gather_np, np.zeros(pad, np.int32)])
+        cid = np.concatenate([cid_np, np.zeros(pad, np.int32)])
+        return _spmv_safe(pool_mont, vec_dev, jnp.asarray(cid),
+                          jnp.asarray(gat), jnp.asarray(idx), out_size)
     acc = jnp.zeros((out_size + 1, spec.n_limbs), jnp.uint32)
     for off in range(0, max(m, 1), CHUNK_ROWS):
         idx = scatter_np[off : off + CHUNK_ROWS]
