@@ -35,3 +35,36 @@ def test_prove_batched_matches_sequential():
         assert groth16.verify(vk, proof, publics)
         ref = prove(pk, r1cs, wit, seed=f"bp-b{i}")
         assert proof.pi_a == ref.pi_a and proof.pi_b == ref.pi_b and proof.pi_c == ref.pi_c
+
+
+def test_hierarchical_mesh_msm_batch_sharded():
+    """2D (DCN x ICI) mesh: batches over the outer axis, points sharded
+    over the inner — a simulated two-host topology on the 8-device CPU
+    mesh (SURVEY §2.6/§7 multi-host scaffolding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zkpoa_tpu.fields import bn254
+    from zkpoa_tpu.ops import msm as msm_mod
+    from zkpoa_tpu.ops.curve_jax import BN254_G1
+    from zkpoa_tpu.parallel.mesh import make_hierarchical_mesh, msm_batch_sharded
+
+    mesh = make_hierarchical_mesh(shape=(2, 4))
+    rng = np.random.default_rng(3)
+    n, nb = 32, 2
+    mults = [int(k) + 1 for k in rng.integers(1, 1 << 20, size=n)]
+    pts = [bn254.g1_mul(bn254.G1_GEN, k) for k in mults]
+    xs, ys, _ = BN254_G1.encode_affine(pts)
+    scalar_sets = [
+        [int.from_bytes(rng.bytes(32), "big") % bn254.R for _ in range(n)]
+        for _ in range(nb)
+    ]
+    sc_nb = jnp.stack([
+        jnp.asarray(msm_mod.scalars_to_limbs(s)) for s in scalar_sets
+    ])
+    res = msm_batch_sharded(BN254_G1, xs, ys, sc_nb, mesh, n_bits=254, c=5)
+    for b in range(nb):
+        got = BN254_G1.decode_jac(jax.tree.map(lambda l, b=b: l[b : b + 1], res))[0]
+        want_k = sum(s * m for s, m in zip(scalar_sets[b], mults)) % bn254.R
+        assert got == bn254.g1_mul(bn254.G1_GEN, want_k)
