@@ -15,6 +15,9 @@ import os
 import sys
 import time
 
+# pure host work: never initialize the (possibly busy) TPU backend
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)

@@ -220,8 +220,35 @@ def stage6():
     return ok
 
 
+def stage7():
+    log("--- stage 7: G2 shared tree MSM at prover scale (worker-fault repro)")
+    from zkpoa_tpu.ops.fp2_jax import BN254_G2
+    from zkpoa_tpu.prover.setup import _g2_query_device
+
+    rng = np.random.default_rng(8)
+    n = 1 << 19
+    gen_mults = [int(k) + 1 for k in rng.integers(1, 1 << 30, size=n)]
+    t0 = time.time()
+    query = _g2_query_device(M2.scalars_to_limbs_fast(gen_mults))
+    log(f"stage7 G2 point gen: {time.time() - t0:.1f}s")
+    scalars = [int.from_bytes(rng.bytes(32), "big") % R for _ in range(n)]
+    for i in range(0, (2 * n) // 3):  # witness-like bit values
+        scalars[i] = int(rng.integers(0, 2))
+    sc = M2.scalars_to_limbs_fast(scalars)
+    wplan = M2.plan_witness_msms(sc, jnp.asarray(sc))
+    t0 = time.time()
+    got = M2.msm_shared(BN254_G2, query, wplan, bn254.g2_add, bn254.g2_mul,
+                        use_tree=True)
+    log(f"stage7 G2 MSM: {time.time() - t0:.1f}s")
+    want_k = sum(s * g for s, g in zip(scalars, gen_mults)) % R
+    want = bn254.g2_mul(bn254.G2_GEN, want_k) if want_k else None
+    ok = got == want
+    log(f"stage7: {'OK' if ok else 'FAIL'}")
+    return ok
+
+
 STAGES = {"1": stage1, "2": stage2, "3": stage3, "4": stage4, "5": stage5,
-          "6": stage6}
+          "6": stage6, "7": stage7}
 
 if __name__ == "__main__":
     which = sys.argv[1:] or list("123456")

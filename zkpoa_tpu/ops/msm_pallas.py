@@ -909,54 +909,69 @@ def _tree_accum_reduce(curve, plan: MsmPlan, xs, ys, idx2, sign2, valid):
     return _weighted_reduce(curve, buckets, plan)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _tree_device_planned(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
                          point_valid):
-    """Device-planned pytree-coordinate MSM (G2 over Fp2): recode + sort +
-    grouped unified-add accumulation + weighted reduce in one program,
-    traced group count (one compile per geometry — see
-    _msm_device_planned for why host planning was abandoned)."""
+    """Device-planned pytree-coordinate MSM (G2 over Fp2): device recode +
+    sort, then per-group accumulation programs (see _msm_device_planned
+    for why host planning was abandoned)."""
     order_y, b_start, b_end, occ = _plan_dev(plan, scalars, point_valid)
     return _tree_accum_shared(curve, plan, rg, xs, ys,
                               order_y, b_start, b_end, occ, None)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _tree_accum_shared(curve, plan: MsmPlan, rg: int, xs, ys,
-                       order_y, b_start, b_end, occ, q_valid):
-    """Pytree (G2) grouped accumulation against a shared device plan."""
+@functools.partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3,))
+def _tree_accum_one_group(curve, plan: MsmPlan, rg: int, acc, xs, ys,
+                          order_y, b_start, b_end, q_valid, g):
+    """One round group of the pytree (G2) accumulation: gathers + a scan
+    of unified adds. Dispatched from a PYTHON loop over groups — a single
+    fori program wrapping gathers at N ~ 1.5M faulted the TPU worker
+    (same failure class as round 2's chained-fori bench crash); per-group
+    programs with a donated carry are the proven-stable shape."""
     from .curve_jax import jac_add_affine
 
-    n, lanes, nb, nw = plan.n, plan.lanes, plan.nb, plan.nw
+    n, lanes = plan.n, plan.lanes
     ar = curve.arith()
-    n_groups = (occ + rg - 1) // rg
+    r_idx = g * rg + jnp.arange(rg, dtype=jnp.int32)
+    pos = b_start[None, :, :] + r_idx[:, None, None]
+    valid = pos < b_end[None, :, :]
+    pos_c = jnp.minimum(pos, n - 1)
+    idx_y = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_y, pos_c)
+    idx2 = idx_y.reshape(rg, lanes)
+    sign2 = idx2 >= n
+    idx2 = jnp.where(sign2, idx2 - n, idx2)
+    v2 = valid.reshape(rg, lanes)
+    if q_valid is not None:
+        v2 = jnp.logical_and(v2, q_valid[idx2])
 
-    def body(g, acc):
-        r_idx = g * rg + jnp.arange(rg, dtype=jnp.int32)
-        pos = b_start[None, :, :] + r_idx[:, None, None]
-        valid = pos < b_end[None, :, :]
-        pos_c = jnp.minimum(pos, n - 1)
-        idx_y = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_y, pos_c)
-        idx2 = idx_y.reshape(rg, lanes)
-        sign2 = idx2 >= n
-        idx2 = jnp.where(sign2, idx2 - n, idx2)
-        v2 = valid.reshape(rg, lanes)
-        if q_valid is not None:
-            v2 = jnp.logical_and(v2, q_valid[idx2])
+    def round_step(a, xs_in):
+        ixr, sgr, vr = xs_in
+        pxg = _tmap(lambda t: t[ixr], xs)
+        pyg = _tmap(lambda t: t[ixr], ys)
+        pyg = ar.select(sgr, ar.sub(ar.zeros_like(pyg), pyg), pyg)
+        return jac_add_affine(ar, a, pxg, pyg, vr), None
 
-        def round_step(a, xs_in):
-            ixr, sgr, vr = xs_in
-            pxg = _tmap(lambda t: t[ixr], xs)
-            pyg = _tmap(lambda t: t[ixr], ys)
-            pyg = ar.select(sgr, ar.sub(ar.zeros_like(pyg), pyg), pyg)
-            return jac_add_affine(ar, a, pxg, pyg, vr), None
+    acc, _ = jax.lax.scan(round_step, acc, (idx2, sign2, v2))
+    return acc
 
-        acc, _ = jax.lax.scan(round_step, acc, (idx2, sign2, v2))
-        return acc
 
-    acc = jax.lax.fori_loop(0, n_groups, body, curve.infinity((lanes,)))
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _tree_reduce(curve, plan: MsmPlan, acc):
+    nb, nw = plan.nb, plan.nw
     buckets = _tmap(lambda a: a.reshape(nw, nb, a.shape[-1]), acc)
     return _weighted_reduce(curve, buckets, plan)
+
+
+def _tree_accum_shared(curve, plan: MsmPlan, rg: int, xs, ys,
+                       order_y, b_start, b_end, occ, q_valid):
+    """Pytree (G2) grouped accumulation against a shared device plan:
+    a host loop of per-group programs (see _tree_accum_one_group)."""
+    n_groups = (int(occ) + rg - 1) // rg
+    acc = curve.infinity((plan.lanes,))
+    for g in range(n_groups):
+        acc = _tree_accum_one_group(
+            curve, plan, rg, acc, xs, ys, order_y, b_start, b_end,
+            q_valid, jnp.int32(g))
+    return _tree_reduce(curve, plan, acc)
 
 
 def _use_device_plan(plan: Optional[MsmPlan]) -> bool:
