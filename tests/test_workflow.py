@@ -72,3 +72,35 @@ def test_workflow_end_to_end_accounting(tmp_path):
     # balance sum equals the fixture balances
     atts = json.load(open(sigs))
     assert res.balance_sum == sum(int(e["balance"]) for e in atts)
+
+
+@pytest.mark.slow
+def test_workflow_resume_from_artifacts(tmp_path, monkeypatch):
+    """resume=True reloads completed per-batch layers from their on-disk
+    artifacts instead of re-proving (SURVEY §5 checkpoint/resume)."""
+    sigs = tmp_path / "sigs.json"
+    anon = tmp_path / "anon.csv"
+    fixtures.write_fixtures(2, str(sigs), str(anon), extra=4)
+    kwargs = dict(
+        build_root=str(tmp_path / "build"), ideal_batch_size=1,
+        mode="accounting", zkey_cache=str(tmp_path / "zkeys"), tree_height=4,
+    )
+    res1 = run_workflow(str(sigs), str(anon), 0x5EED, **kwargs)
+
+    import zkpoa_tpu.pipeline.workflow as wf
+
+    calls = []
+    orig = wf._prove_many
+
+    def counting(pk, r1cs, wits, seeds):
+        calls.extend(seeds)
+        return orig(pk, r1cs, wits, seeds)
+
+    monkeypatch.setattr(wf, "_prove_many", counting)
+    res2 = run_workflow(str(sigs), str(anon), 0x5EED, resume=True, **kwargs)
+    # both batches' layer-2 proofs were resumed: only layer 3 re-proves
+    assert not any(s.startswith("l2") for s in calls), calls
+    assert res2.balance_sum == res1.balance_sum
+    assert res2.merkle_root == res1.merkle_root
+    expected = C.pedersen_commitment(res2.balance_sum, 0x5EED)
+    assert C.point_equal(res2.commitment, expected)

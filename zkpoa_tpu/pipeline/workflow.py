@@ -105,6 +105,7 @@ def run_workflow(
     tree_height: Optional[int] = None,
     setup_seed: str = "zkpoa-test-srs",
     profile: bool = False,
+    resume: bool = False,
 ) -> WorkflowResult:
     # logs land in <build_root>/logs during input prep, then move under the
     # sized build dir naming once the batch plan is known
@@ -169,9 +170,38 @@ def run_workflow(
     bench_lines: List[str] = []  # benchmarks.txt (reference convention)
     san1s: List[Optional[dict]] = [None] * bplan.num_batches
     pk1_vk_jsons: List[Optional[dict]] = [None] * bplan.num_batches
+
+    def _resume_layer(bi: int, name: str) -> Optional[dict]:
+        """Load a completed batch layer from its on-disk artifacts (every
+        pipeline stage is restartable from files, the reference's design
+        — SURVEY §5 checkpoint/resume; a dead multi-minute prove no
+        longer loses the finished layers)."""
+        if not resume:
+            return None
+        need = [os.path.join(bdirs[bi], f"{name}_sanitized_proof.json"),
+                os.path.join(bdirs[bi], f"{name}_vkey.json")]
+        if not all(os.path.exists(p) for p in need):
+            return None
+        with open(need[0]) as f:
+            san = json.load(f)
+        with open(need[1]) as f:
+            vkj = json.load(f)
+        _log(f"resume: {name} batch {bi} loaded from {bdirs[bi]}")
+        return {"san": san, "vk_json": vkj}
+
     if mode in ("full", "recursive"):
+        l1_done = {}
+        for bi in range(bplan.num_batches):
+            r = _resume_layer(bi, "layer_one")
+            if r is not None:
+                san1s[bi] = r["san"]
+                pk1_vk_jsons[bi] = r["vk_json"]
+                l1_done[bi] = True
         l1_builds = []
         for bi, batch in enumerate(batches):
+            if l1_done.get(bi):
+                l1_builds.append(None)
+                continue
             with Stage(timings, f"layer1 build batch {bi}"):
                 l1_inp_json = layer_one_input(batch)
                 with open(os.path.join(bdirs[bi], "layer_one_input.json"), "w") as f:
@@ -189,6 +219,9 @@ def run_workflow(
                 l1_builds.append((r1, w1, c1.public_values))
         pk1 = None
         for group in _shape_groups(batches):
+            group = [bi for bi in group if not l1_done.get(bi)]
+            if not group:
+                continue
             bi0 = group[0]
             r1_0 = l1_builds[bi0][0]
             with Stage(timings, f"layer1 setup ({len(batches[bi0])} sigs)"):
@@ -227,8 +260,21 @@ def run_workflow(
     batch_balance_sums: List[int] = [0] * bplan.num_batches
     l2_sanitized: List[Optional[dict]] = [None] * bplan.num_batches
     l2_vk_jsons: List[Optional[dict]] = [None] * bplan.num_batches
+    l2_done = {}
+    for bi in range(bplan.num_batches):
+        r = _resume_layer(bi, "layer_two")
+        if r is not None:
+            l2_sanitized[bi] = r["san"]
+            l2_vk_jsons[bi] = r["vk_json"]
+            # balance = pubInput[0] of the sanitized layer-2 proof
+            # (reference input_prep_for_layer_three.ts:122)
+            batch_balance_sums[bi] = int(r["san"]["pubInput"][0])
+            l2_done[bi] = True
     l2_builds = []
     for bi, batch in enumerate(batches):
+        if l2_done.get(bi):
+            l2_builds.append(None)
+            continue
         start, _ = bplan.batch_range(bi)
         with Stage(timings, f"layer2 build batch {bi}"):
             batch_proofs = [proofs[start + j] for j in range(len(batch))]
@@ -262,6 +308,9 @@ def run_workflow(
             )
             l2_builds.append((r2, w2, c2.public_values))
     for group in _shape_groups(batches):
+        group = [bi for bi in group if not l2_done.get(bi)]
+        if not group:
+            continue
         bi0 = group[0]
         r2_0 = l2_builds[bi0][0]
         with Stage(timings, f"layer2 setup ({len(batches[bi0])} sigs)"):
@@ -490,6 +539,9 @@ def main(argv=None) -> int:
     ap.add_argument("--profile", action="store_true",
                     help="record per-stage JAX profiler traces under "
                          "<build>/logs/xprof (view with TensorBoard)")
+    ap.add_argument("-r", "--resume", action="store_true",
+                    help="reuse completed per-batch layer artifacts from a "
+                         "previous (partial) run of the same build dir")
     args = ap.parse_args(argv)
 
     res = run_workflow(
@@ -502,6 +554,7 @@ def main(argv=None) -> int:
         zkey_cache=args.zkey_cache,
         tree_height=args.tree_height,
         profile=args.profile,
+        resume=args.resume,
     )
     _log(json.dumps({"build_dir": res.build_dir, "balance_sum": str(res.balance_sum),
                      "merkle_root": str(res.merkle_root),
