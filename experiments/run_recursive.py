@@ -49,6 +49,7 @@ def main():
         mode="recursive",
         zkey_cache=os.path.join(build_root, "zkeys"),
         tree_height=5,
+        resume=os.environ.get("ZKPOA_RESUME", "1") == "1",
     )
     wall = time.time() - t0
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6

@@ -147,6 +147,8 @@ class DeviceG2Points:
 
 
 SETUP_CHUNK = 1 << 19  # fixed-base generation chunk (compile reuse + HBM)
+DEVICE_SCALARS_MAX_LOG_DOMAIN = 22  # above: host setup-scalar path (see
+# setup_device — the device path faults the worker at 2^23)
 HOST_SPILL_MIN_VARS = 3_000_000  # keys above this spill query tables to
 # host RAM (prove uploads each query just-in-time): the full key would not
 # fit HBM next to the prove operands
@@ -543,7 +545,19 @@ def setup_device(
 
     from ..ops.msm_pallas import scalars_to_limbs_fast
 
-    if os.environ.get("ZKPOA_HOST_SETUP") == "1":
+    m_domain = 1
+    while m_domain < max(r1cs.n_constraints, 2):
+        m_domain <<= 1
+    # Device setup scalars fault the TPU worker at the 2^23 recursive
+    # layer-2 domain (kernel fault inside the big fori programs — under
+    # bisection, experiments/hw_check.py stage 8); domains above the gate
+    # take the exact host path (proved on hardware at 7.24M wires).
+    host_scalars_path = (
+        os.environ.get("ZKPOA_HOST_SETUP") == "1"
+        or (m_domain >= (1 << DEVICE_SCALARS_MAX_LOG_DOMAIN)
+            and os.environ.get("ZKPOA_DEVICE_SETUP") != "1")
+    )
+    if host_scalars_path:
         _vlog(f"setup_device: host QAP scalars ({r1cs.n_constraints} constraints)")
         s = _setup_scalars(r1cs, seed, h_basis)
         enc = scalars_to_limbs_fast
