@@ -247,8 +247,66 @@ def stage7():
     return ok
 
 
+def stage8():
+    """Bisect the 2^23 device setup-scalar worker fault: run each piece
+    of _setup_scalars_device standalone at the failing scale."""
+    from zkpoa_tpu.ops import limbs as L
+    from zkpoa_tpu.ops.ntt import domain_root
+    from zkpoa_tpu.prover.setup import _dev_pow_table, _lagrange_at_tau_device
+
+    m = 1 << 23
+    ok = True
+    try:
+        t0 = time.time()
+        tbl = _dev_pow_table(domain_root(23), m)
+        v = np.asarray(tbl[m - 1])  # sync
+        log(f"stage8a _dev_pow_table(2^23): {time.time() - t0:.1f}s OK")
+    except Exception as e:  # noqa: BLE001
+        log(f"stage8a _dev_pow_table FAULT: {e!r}")
+        return False
+    del tbl, v
+    try:
+        t0 = time.time()
+        lag, roots, _z = _lagrange_at_tau_device(m, 0xDEADBEEF12345)
+        v = np.asarray(lag[m - 1])
+        log(f"stage8b lagrange (pow + Fermat inv): {time.time() - t0:.1f}s OK")
+        del lag, roots, v
+    except Exception as e:  # noqa: BLE001
+        log(f"stage8b lagrange FAULT: {e!r}")
+        return False
+    try:
+        from zkpoa_tpu.models.r1cs import PackedMatrix, PackedR1CS
+        from zkpoa_tpu.ops.qap_eval import eval_at_tau_device
+
+        rng = np.random.default_rng(9)
+        rows = 10_000_000
+        n_wires = 7_200_000
+        wire = rng.integers(0, n_wires, size=rows).astype(np.int32)
+        wire[: rows // 3] = 0  # constant-wire-heavy, like real circuits
+        mat = PackedMatrix(
+            idx=rng.integers(0, m, size=rows).astype(np.int32),
+            wire=wire,
+            cid=np.zeros(rows, np.int32),
+        )
+        empty = PackedMatrix(*(np.zeros(0, np.int32),) * 3)
+        packed = PackedR1CS(a=mat, b=empty, c=empty,
+                            pool_limbs=M2.scalars_to_limbs_fast([1]),
+                            n_wires=n_wires, n_public=0, n_constraints=m)
+        lag_plain = jnp.asarray(
+            np.tile(M2.scalars_to_limbs_fast([12345])[0], (m, 1)))
+        t0 = time.time()
+        a_t, _b, _c = eval_at_tau_device(packed, lag_plain, n_wires)
+        got = int(np.asarray(a_t[0])[0])  # sync a limb
+        log(f"stage8c transposed SpMV (10M rows): {time.time() - t0:.1f}s OK")
+    except Exception as e:  # noqa: BLE001
+        log(f"stage8c transposed SpMV FAULT: {e!r}")
+        return False
+    log(f"stage8: {'OK' if ok else 'FAIL'}")
+    return ok
+
+
 STAGES = {"1": stage1, "2": stage2, "3": stage3, "4": stage4, "5": stage5,
-          "6": stage6, "7": stage7}
+          "6": stage6, "7": stage7, "8": stage8}
 
 if __name__ == "__main__":
     which = sys.argv[1:] or list("123456")
