@@ -305,8 +305,43 @@ def stage8():
     return ok
 
 
+def stage9():
+    """Pallas fixed-base fold vs exact host multiples at query-gen scale
+    (the jnp fold paced ~3.5 min per 2^19 chunk inside the layer-2 setup)."""
+    from zkpoa_tpu.ops import curve_jax
+
+    rng = np.random.default_rng(10)
+    n = 1 << 16
+    scalars = [int.from_bytes(rng.bytes(32), "big") % R for _ in range(n)]
+    sc = jnp.asarray(M2.scalars_to_limbs_fast(scalars))
+    t0 = time.time()
+    jac = curve_jax.fixed_base_mul_batch_pallas(
+        BN254_G1, "bn254_g1", bn254.G1_GEN, bn254.g1_add, sc, 254)
+    xs, ys, valid = curve_jax.jac_to_affine_mont(BN254_G1.field, jac)
+    np.asarray(valid[:4])
+    t_pallas = time.time() - t0
+    log(f"stage9 pallas fold+affine 2^16: {t_pallas:.1f}s")
+    spec = BN254_G1.field
+    got_x = spec.from_limbs(np.asarray(spec.from_mont(xs)))
+    got_y = spec.from_limbs(np.asarray(spec.from_mont(ys)))
+    ok = True
+    for i in rng.integers(0, n, size=8):
+        want = bn254.g1_mul(bn254.G1_GEN, scalars[int(i)])
+        if want != (int(got_x[int(i)]), int(got_y[int(i)])):
+            log(f"stage9 mismatch at {i}")
+            ok = False
+    # pace comparison vs the jnp fold on the same chunk
+    t0 = time.time()
+    jac2 = curve_jax.fixed_base_mul_batch(
+        BN254_G1, "bn254_g1", bn254.G1_GEN, bn254.g1_add, sc, 254)
+    np.asarray(jax.tree.leaves(jac2)[0][:1])
+    log(f"stage9 jnp fold 2^16 (for comparison): {time.time() - t0:.1f}s")
+    log(f"stage9: {'OK' if ok else 'FAIL'}")
+    return ok
+
+
 STAGES = {"1": stage1, "2": stage2, "3": stage3, "4": stage4, "5": stage5,
-          "6": stage6, "7": stage7, "8": stage8}
+          "6": stage6, "7": stage7, "8": stage8, "9": stage9}
 
 if __name__ == "__main__":
     which = sys.argv[1:] or list("123456")

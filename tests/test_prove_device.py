@@ -86,3 +86,28 @@ def test_device_key_disk_cache(tmp_path, monkeypatch):
     assert not calls, "cache hit must not re-run setup"
     proof2 = prove(pk2, r1cs, wit, seed="p1")
     assert (proof.pi_a, proof.pi_b, proof.pi_c) == (proof2.pi_a, proof2.pi_b, proof2.pi_c)
+
+
+def test_fixed_base_pallas_variant_matches():
+    """fixed_base_mul_batch_pallas (CPU: falls through to the jnp fold)
+    must produce the same points as the plain fold; exercises the routing
+    + digit/index construction."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from zkpoa_tpu.fields import bn254
+    from zkpoa_tpu.ops import curve_jax, msm as msm_mod
+    from zkpoa_tpu.ops.curve_jax import BN254_G1
+
+    rng = np.random.default_rng(13)
+    scalars = [int.from_bytes(rng.bytes(32), "big") % bn254.R for _ in range(64)]
+    sc = jnp.asarray(msm_mod.scalars_to_limbs(scalars))
+    jac_a = curve_jax.fixed_base_mul_batch(
+        BN254_G1, "bn254_g1", bn254.G1_GEN, bn254.g1_add, sc, 254)
+    jac_b = curve_jax.fixed_base_mul_batch_pallas(
+        BN254_G1, "bn254_g1", bn254.G1_GEN, bn254.g1_add, sc, 254)
+    pa = BN254_G1.decode_jac(jac_a)
+    pb = BN254_G1.decode_jac(jac_b)
+    assert pa == pb
+    for p, k in zip(pa, scalars):
+        assert p == bn254.g1_mul(bn254.G1_GEN, k % bn254.N_CURVE if hasattr(bn254, 'N_CURVE') else k)

@@ -366,6 +366,81 @@ def fixed_base_mul_batch(
     return _fb_fold(ops, xs_t, ys_t, valid_t, scalars, n_bits, w)
 
 
+def fixed_base_mul_batch_pallas(
+    ops, curve_name: str, base, host_add, scalars: jnp.ndarray,
+    n_bits: int, w: int = 8
+):
+    """EXPERIMENTAL — NOT wired into setup: fixed_base_mul_batch through
+    the MSM Pallas accumulation kernel. On the axon TPU backend this
+    MISCOMPILES for a lane-periodic subset (lanes with lane%128 < 16
+    produced wrong sums; a direct _accum_group call on the same streams
+    returned garbage exception rows) while the identical kernel is exact
+    in the MSM paths — under investigation; the CPU route falls through
+    to the correct jnp fold, and prover setup uses fixed_base_mul_batch."""
+    from . import msm_pallas as M2
+
+    table = fixed_base_table(curve_name, base, host_add, n_bits, w)
+    nwin = table.shape[0]
+    flat = [pt for row in table for pt in row]
+    xs_t, ys_t, valid_t = ops.encode_affine(flat)  # [nwin*2^w, K]
+    n = scalars.shape[0]
+    if (
+        jax.default_backend() == "cpu"
+        or n % M2.LANE_TILE != 0
+        or not isinstance(xs_t, jnp.ndarray)
+    ):
+        xs_r = jax.tree.map(lambda a: a.reshape((nwin, 1 << w) + a.shape[1:]), xs_t)
+        ys_r = jax.tree.map(lambda a: a.reshape((nwin, 1 << w) + a.shape[1:]), ys_t)
+        return _fb_fold(ops, xs_r, ys_r, valid_t.reshape(nwin, 1 << w),
+                        scalars, n_bits, w)
+    acc, exc = _fb_fold_pallas(ops, xs_t, ys_t, valid_t,
+                               jnp.asarray(scalars), n_bits, w)
+    if int(exc) != 0:
+        xs_r = jax.tree.map(lambda a: a.reshape((nwin, 1 << w) + a.shape[1:]), xs_t)
+        ys_r = jax.tree.map(lambda a: a.reshape((nwin, 1 << w) + a.shape[1:]), ys_t)
+        return _fb_fold(ops, xs_r, ys_r, valid_t.reshape(nwin, 1 << w),
+                        scalars, n_bits, w)
+    return acc
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6))
+def _fb_fold_pallas(ops, xs_flat, ys_flat, valid_flat, scalars,
+                    n_bits: int, w: int):
+    """Window fold on the Pallas mixed-add kernel: digits -> flat table
+    indices, one gathered [nwin, K, N] stream consumed by a (ntiles, nwin)
+    kernel grid with the per-lane accumulator VMEM-resident."""
+    from . import msm_pallas as M2
+
+    nwin = (n_bits + w - 1) // w
+    n = scalars.shape[0]
+    per_limb = L.LIMB_BITS // w
+    digs = []
+    for j in range(nwin):
+        limb = j // per_limb
+        sh = (j % per_limb) * w
+        digs.append(((scalars[:, limb] >> sh) & jnp.uint32((1 << w) - 1))
+                    .astype(jnp.int32) + jnp.int32(j << w))
+    idx = jnp.stack(digs, axis=0)  # [nwin, N] flat table indices
+    px = jnp.transpose(xs_flat[idx], (0, 2, 1))  # [nwin, K, N]
+    py = jnp.transpose(ys_flat[idx], (0, 2, 1))
+    v = valid_flat[idx].astype(jnp.uint32)  # [nwin, N]
+    # round the round axis up to a multiple of 8 (the kernel's valid-mask
+    # sublane block)
+    pad = (-nwin) % 8
+    if pad:
+        px = jnp.concatenate([px, jnp.zeros((pad,) + px.shape[1:], px.dtype)])
+        py = jnp.concatenate([py, jnp.zeros((pad,) + py.shape[1:], py.dtype)])
+        v = jnp.concatenate([v, jnp.zeros((pad, n), v.dtype)])
+    geo = M2.MsmPlan(254, 11, n, nwin + pad)  # shapes only
+    k = xs_flat.shape[1]
+    ax = jnp.zeros((k, n), jnp.uint32)
+    ay = jnp.zeros((k, n), jnp.uint32)
+    az = jnp.zeros((k, n), jnp.uint32)
+    ae = jnp.zeros((8, n), jnp.uint32)
+    ax, ay, az, ae = M2._accum_group(ops, geo, ax, ay, az, ae, px, py, v)
+    return (ax.T, ay.T, az.T), jnp.sum(ae[0])
+
+
 @partial(jax.jit, static_argnums=(0, 5, 6))
 def _fb_fold(ops, xs_t, ys_t, valid_t, scalars, n_bits: int, w: int):
     nwin = (n_bits + w - 1) // w
