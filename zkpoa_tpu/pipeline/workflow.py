@@ -153,6 +153,14 @@ def run_workflow(
 
     import threading
 
+    import jax as _jax
+    import numpy as _np
+
+    # warm the device on the MAIN thread before any worker thread touches
+    # it: the remote (axon) backend's first-use initialization from a
+    # secondary thread has been observed to hang the whole run
+    _np.asarray(_jax.numpy.zeros((8,), _jax.numpy.uint32))
+
     merkle_thread = threading.Thread(target=_build_merkle, name="merkle-build")
     merkle_thread.start()
 
