@@ -669,35 +669,32 @@ def _plan_dev(plan: MsmPlan, scalars, plan_valid):
     return order_y, b_start, b_end, occ
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _msm_device_planned(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
                         point_valid):
-    """Fully device-resident MSM: digit recode + bucket sort + grouped
-    Pallas accumulation in ONE program, occupancy-derived group count as
-    a traced fori bound. No per-MSM host uploads at all — host planning
-    shipped a [nw, N] int32 order table through the tunnel every call
-    (~100MB at N=2^20, the dominant measured cost), while the prover's
-    scalars are either uploaded once per proof (witness) or already
-    live in HBM (the h-operand straight out of the NTT). `plan` carries
-    rounds=rg so one executable serves every occupancy."""
-    spec = curve.field
+    """Fully device-resident MSM: digit recode + bucket sort on device,
+    then grouped Pallas accumulation dispatched per group from the host
+    (see _run_groups for why not one fori program). No per-MSM host
+    uploads at all — host planning shipped a [nw, N] int32 order table
+    through the tunnel every call (~100MB at N=2^20, the dominant
+    measured cost), while the prover's scalars are either uploaded once
+    per proof (witness) or already live in HBM (the h-operand straight
+    out of the NTT). `plan` carries rounds=rg so one executable serves
+    every occupancy."""
     order_y, b_start, b_end, occ = _plan_dev(plan, scalars, point_valid)
-    n_groups = (occ + rg - 1) // rg
-    ys_ext = jnp.concatenate([ys, L.sub_mod(spec, jnp.zeros_like(ys), ys)], axis=0)
-    return _groups_scan_core(curve, plan, rg, xs, ys_ext, order_y,
-                             b_start, b_end, n_groups)
+    n_groups = (int(occ) + rg - 1) // rg
+    ys_ext = _neg_y_ext(curve.field, ys)
+    return _run_groups(curve, plan, rg, xs, ys_ext, order_y,
+                       b_start, b_end, n_groups)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _msm_accum_shared(curve, plan: MsmPlan, rg: int, xs, ys,
                       order_y, b_start, b_end, occ, q_valid):
     """Grouped accumulation against a SHARED device plan, with the
     query's own infinity mask applied per gathered lane."""
-    spec = curve.field
-    n_groups = (occ + rg - 1) // rg
-    ys_ext = jnp.concatenate([ys, L.sub_mod(spec, jnp.zeros_like(ys), ys)], axis=0)
-    return _groups_scan_core(curve, plan, rg, xs, ys_ext, order_y,
-                             b_start, b_end, n_groups, q_valid=q_valid)
+    n_groups = (int(occ) + rg - 1) // rg
+    ys_ext = _neg_y_ext(curve.field, ys)
+    return _run_groups(curve, plan, rg, xs, ys_ext, order_y,
+                       b_start, b_end, n_groups, q_valid=q_valid)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -737,6 +734,52 @@ def _accum_group(curve, plan: MsmPlan, ax, ay, az, ae, px, py, vstream):
         input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
     )(ax, ay, az, ae, px, py, vstream)
     return ox, oy, oz, oe
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _gather_group_masked(curve, plan: MsmPlan, rg: int, xs, ys_ext, order_y,
+                         b_start, b_end, q_valid, r0):
+    """_gather_group with a per-point query-validity mask folded into the
+    round-valid stream (shared-plan MSMs)."""
+    spec = curve.field
+    k = spec.n_limbs
+    n, lanes = plan.n, plan.lanes
+    r_idx = r0 + jnp.arange(rg, dtype=jnp.int32)
+    pos = b_start[None, :, :] + r_idx[:, None, None]
+    valid = pos < b_end[None, :, :]
+    pos_c = jnp.minimum(pos, n - 1)
+    idx_y = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_y, pos_c)
+    idx_flat = idx_y.reshape(-1)
+    sign = idx_flat >= n
+    idx = jnp.where(sign, idx_flat - n, idx_flat)
+    px = jnp.transpose(xs[idx].reshape(rg, lanes, k), (0, 2, 1))
+    py = jnp.transpose(ys_ext[idx_flat].reshape(rg, lanes, k), (0, 2, 1))
+    v = valid.reshape(rg, lanes)
+    if q_valid is not None:
+        v = jnp.logical_and(v, q_valid[idx].reshape(rg, lanes))
+    return px, py, v.astype(jnp.uint32)
+
+
+def _run_groups(curve, gplan: MsmPlan, rg: int, xs, ys_ext, order_y,
+                b_start, b_end, n_groups: int, q_valid=None):
+    """Grouped accumulation dispatched from a HOST loop: one bounded
+    program per round group (gather + Pallas kernel). The fori-wrapped
+    single-program form faults the TPU worker at N ~ 7.2M (it is fine at
+    <= 2M); per-group programs with a carried accumulator are the stable
+    shape on this backend, at ~25ms dispatch cost per group."""
+    spec = curve.field
+    k = spec.n_limbs
+    lanes = gplan.lanes
+    ax = jnp.zeros((k, lanes), jnp.uint32)
+    ay = jnp.zeros((k, lanes), jnp.uint32)
+    az = jnp.zeros((k, lanes), jnp.uint32)
+    ae = jnp.zeros((8, lanes), jnp.uint32)
+    for g in range(n_groups):
+        px, py, v = _gather_group_masked(
+            curve, gplan, rg, xs, ys_ext, order_y, b_start, b_end,
+            q_valid, jnp.int32(g * rg))
+        ax, ay, az, ae = _accum_group(curve, gplan, ax, ay, az, ae, px, py, v)
+    return ax, ay, az, ae
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
@@ -787,12 +830,9 @@ def _msm_host_planned(curve, plan: MsmPlan, xs, ys, host_plan):
         or _os.environ.get("ZKPOA_PALLAS") == "0"
         or plan.use_jnp
     ):
-        # one device program: scan over round groups with the Pallas
-        # kernel inside (the Python group loop paid ~0.6s/group in
-        # dispatch round trips through the remote tunnel)
         n_groups = (plan.rounds + rg - 1) // rg
-        ax, ay, az, ae = _msm_groups_scan(
-            curve, gplan, rg, xs, ys_ext, oy_, bs_, be_, jnp.int32(n_groups)
+        ax, ay, az, ae = _run_groups(
+            curve, gplan, rg, xs, ys_ext, oy_, bs_, be_, n_groups
         )
         return _msm_reduce_stage(curve, gplan, ax, ay, az), jnp.sum(ae[0])
     ax = jnp.zeros((k, lanes), jnp.uint32)
