@@ -669,22 +669,42 @@ def _plan_dev(plan: MsmPlan, scalars, plan_valid):
     return order_y, b_start, b_end, occ
 
 
+FORI_MAX_N = 1 << 21  # single-program (fori) accumulation is stable and
+# dispatch-free up to ~2M points (hardware-exact at 2^17-2^21); above it
+# the fori+gather program faults the TPU worker — host-loop groups there
+
+
 def _msm_device_planned(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
                         point_valid):
     """Fully device-resident MSM: digit recode + bucket sort on device,
-    then grouped Pallas accumulation dispatched per group from the host
-    (see _run_groups for why not one fori program). No per-MSM host
-    uploads at all — host planning shipped a [nw, N] int32 order table
-    through the tunnel every call (~100MB at N=2^20, the dominant
-    measured cost), while the prover's scalars are either uploaded once
-    per proof (witness) or already live in HBM (the h-operand straight
-    out of the NTT). `plan` carries rounds=rg so one executable serves
-    every occupancy."""
+    then grouped Pallas accumulation — as ONE fori program up to
+    FORI_MAX_N (fewer dispatch round trips), as per-group host-dispatched
+    programs above it (the fori form faults the worker at N ~ 7.2M). No
+    per-MSM host uploads at all — host planning shipped a [nw, N] int32
+    order table through the tunnel every call (~100MB at N=2^20, the
+    dominant measured cost), while the prover's scalars are either
+    uploaded once per proof (witness) or already live in HBM (the
+    h-operand straight out of the NTT). `plan` carries rounds=rg so one
+    executable serves every occupancy."""
+    if plan.n <= FORI_MAX_N:
+        return _msm_device_planned_fori(curve, plan, rg, xs, ys, scalars,
+                                        point_valid)
     order_y, b_start, b_end, occ = _plan_dev(plan, scalars, point_valid)
     n_groups = (int(occ) + rg - 1) // rg
     ys_ext = _neg_y_ext(curve.field, ys)
     return _run_groups(curve, plan, rg, xs, ys_ext, order_y,
                        b_start, b_end, n_groups)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _msm_device_planned_fori(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
+                             point_valid):
+    spec = curve.field
+    order_y, b_start, b_end, occ = _plan_dev(plan, scalars, point_valid)
+    n_groups = (occ + rg - 1) // rg
+    ys_ext = jnp.concatenate([ys, L.sub_mod(spec, jnp.zeros_like(ys), ys)], axis=0)
+    return _groups_scan_core(curve, plan, rg, xs, ys_ext, order_y,
+                             b_start, b_end, n_groups)
 
 
 def _msm_accum_shared(curve, plan: MsmPlan, rg: int, xs, ys,
