@@ -188,3 +188,42 @@ def test_witness_plan_shared_tree_matches_heavy_split():
             assert got == want
     finally:
         MP.HEAVY_COUNT_MIN = old
+
+
+def test_gather_xy_matches_split_gather():
+    """The packed-XY gather (one [N, 2K] row gather + in-kernel sign)
+    must produce exactly the stream the split x/ys_ext gather feeds the
+    kernel: same x rows, same (sign-applied) y rows, same valid bits."""
+    from zkpoa_tpu.ops import limbs as L
+
+    rng = np.random.default_rng(11)
+    n, c = 512, 7
+    spec = BN254_G1.field
+    scalars = [int.from_bytes(rng.bytes(32), "big") % bn254.R for _ in range(n)]
+    sc = jnp.asarray(msm_mod.scalars_to_limbs(scalars))
+    plan = M2.MsmPlan(254, c, n, 16)
+    pv = jnp.ones((n,), dtype=bool)
+    order_y, b_start, b_end, occ = M2._plan_dev(plan, sc, pv)
+    rg = 8
+    # random Montgomery-ish coordinate tables (values only flow through)
+    xs = jnp.asarray(rng.integers(0, 2**16, size=(n, spec.n_limbs), dtype=np.uint32))
+    ys = jnp.asarray(rng.integers(1, 2**16, size=(n, spec.n_limbs), dtype=np.uint32))
+    ys_ext = M2._neg_y_ext(spec, ys)
+    xy = jnp.concatenate([xs, ys], axis=1)
+    q_valid = jnp.asarray(rng.integers(0, 2, size=(n,), dtype=np.uint32).astype(bool))
+    for r0 in [0, rg]:
+        px, py, v_old = M2._gather_group_masked(
+            BN254_G1, plan, rg, xs, ys_ext, order_y, b_start, b_end,
+            q_valid, jnp.int32(r0))
+        pxy, v_new = M2._gather_xy_rounds(
+            plan, rg, xy, order_y, b_start, b_end, jnp.int32(r0), q_valid)
+        k = spec.n_limbs
+        assert (np.asarray(v_new) & 1 == np.asarray(v_old)).all()
+        assert (np.asarray(pxy[:, :k, :]) == np.asarray(px)).all()
+        # decode: sign lanes negate y mod p (exactly what the kernel does)
+        y_raw = jnp.transpose(pxy[:, k:, :], (0, 2, 1)).reshape(-1, k)
+        y_neg = L.sub_mod(spec, jnp.zeros_like(y_raw), y_raw)
+        sign = ((np.asarray(v_new).reshape(-1) >> 1) & 1).astype(bool)
+        y_dec = np.where(sign[:, None], np.asarray(y_neg), np.asarray(y_raw))
+        py_flat = np.asarray(jnp.transpose(py, (0, 2, 1)).reshape(-1, k))
+        assert (y_dec == py_flat).all()

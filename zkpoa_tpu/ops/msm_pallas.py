@@ -687,10 +687,17 @@ def _msm_device_planned(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
     h-operand straight out of the NTT). `plan` carries rounds=rg so one
     executable serves every occupancy."""
     if plan.n <= FORI_MAX_N:
+        if _use_xy():
+            return _msm_device_planned_fori_xy(curve, plan, rg, xs, ys,
+                                               scalars, point_valid)
         return _msm_device_planned_fori(curve, plan, rg, xs, ys, scalars,
                                         point_valid)
     order_y, b_start, b_end, occ = _plan_dev(plan, scalars, point_valid)
     n_groups = (int(occ) + rg - 1) // rg
+    if _use_xy():
+        xy = jnp.concatenate([xs, ys], axis=1)
+        return _run_groups_xy(curve, plan, rg, xy, order_y,
+                              b_start, b_end, n_groups)
     ys_ext = _neg_y_ext(curve.field, ys)
     return _run_groups(curve, plan, rg, xs, ys_ext, order_y,
                        b_start, b_end, n_groups)
@@ -712,6 +719,10 @@ def _msm_accum_shared(curve, plan: MsmPlan, rg: int, xs, ys,
     """Grouped accumulation against a SHARED device plan, with the
     query's own infinity mask applied per gathered lane."""
     n_groups = (int(occ) + rg - 1) // rg
+    if _use_xy():
+        xy = jnp.concatenate([xs, ys], axis=1)
+        return _run_groups_xy(curve, plan, rg, xy, order_y,
+                              b_start, b_end, n_groups, q_valid=q_valid)
     ys_ext = _neg_y_ext(curve.field, ys)
     return _run_groups(curve, plan, rg, xs, ys_ext, order_y,
                        b_start, b_end, n_groups, q_valid=q_valid)
@@ -829,6 +840,195 @@ def _gather_group(curve, plan: MsmPlan, rg: int, xs, ys_ext, order_y,
 @functools.partial(jax.jit, static_argnums=0)
 def _neg_y_ext(spec: FieldSpec, ys):
     return jnp.concatenate([ys, L.sub_mod(spec, jnp.zeros_like(ys), ys)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Packed-XY accumulation: ONE [N, 2K] row gather per round group — half the
+# gather traffic of the separate x-table + negated-y-table scheme (the
+# measured N=2^20 bottleneck: ~N*nw 64-byte row gathers dominate the
+# accumulation wall time while the Pallas kernel itself is ~10x faster) —
+# with the digit sign applied INSIDE the kernel (y <- p - y on sign lanes,
+# one limb subtract per round vs materializing a 2N-row ys_ext table per
+# MSM). Flag stream carries bit0 = valid, bit1 = sign.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_xy_step(pxy_ref, v_ref, ox_ref, oy_ref, oz_ref, oe_ref, r,
+                    mod, n0, one_m):
+    """Shared body of the packed-XY kernels: unpack x/y, apply the sign,
+    run the mixed add against the VMEM-resident accumulator."""
+    k = ox_ref.shape[0]
+    x1 = [ox_ref[j] for j in range(k)]
+    y1 = [oy_ref[j] for j in range(k)]
+    z1 = [oz_ref[j] for j in range(k)]
+    xq = [pxy_ref[0, j] for j in range(k)]
+    yq = [pxy_ref[0, k + j] for j in range(k)]
+    vw = v_ref[r % 8]
+    vq = (vw & 1) != 0
+    sq = (vw & 2) != 0
+    zero = [jnp.zeros_like(yq[0])] * k
+    yneg = PF.k_sub_mod(zero, yq, mod)
+    yq = PF.k_select(sq, yneg, yq)
+    x3, y3, z3, exc = _k_jac_madd_noexcept(x1, y1, z1, xq, yq, vq, mod, n0, one_m)
+    ox_ref[...] = PF._stack(x3)
+    oy_ref[...] = PF._stack(y3)
+    oz_ref[...] = PF._stack(z3)
+    oe_ref[0] = oe_ref[0] | exc.astype(jnp.uint32)
+
+
+def _accum_scan_kernel_xy(ax_ref, ay_ref, az_ref, ae_ref, pxy_ref, v_ref,
+                          ox_ref, oy_ref, oz_ref, oe_ref, *, mod, n0, one_m):
+    """Scan-body-safe packed-XY kernel: accumulator arrives as regular
+    inputs, copied into the VMEM-resident outputs at round 0."""
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _seed():
+        ox_ref[...] = ax_ref[...]
+        oy_ref[...] = ay_ref[...]
+        oz_ref[...] = az_ref[...]
+        oe_ref[...] = ae_ref[...]
+
+    _kernel_xy_step(pxy_ref, v_ref, ox_ref, oy_ref, oz_ref, oe_ref, r,
+                    mod, n0, one_m)
+
+
+def _accum_group_kernel_xy(ax, ay, az, ae, pxy_ref, v_ref,
+                           ox_ref, oy_ref, oz_ref, oe_ref, *, mod, n0, one_m):
+    """Aliased-buffer packed-XY kernel (host-dispatched group loop)."""
+    r = pl.program_id(1)
+    _kernel_xy_step(pxy_ref, v_ref, ox_ref, oy_ref, oz_ref, oe_ref, r,
+                    mod, n0, one_m)
+
+
+def _gather_xy_rounds(plan: MsmPlan, rg: int, xy, order_y, b_start, b_end,
+                      r0, q_valid=None):
+    """Gather rg rounds of the packed point stream: [rg, 2K, lanes] rows
+    plus a [rg, lanes] uint32 flag stream (bit0 valid, bit1 sign). Same
+    index math as _gather_group; one gather instead of two."""
+    n, lanes = plan.n, plan.lanes
+    k2 = xy.shape[1]
+    r_idx = r0 + jnp.arange(rg, dtype=jnp.int32)
+    pos = b_start[None, :, :] + r_idx[:, None, None]
+    valid = (pos < b_end[None, :, :]).reshape(rg, lanes)
+    pos_c = jnp.minimum(pos, n - 1)
+    idx_y = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_y, pos_c)
+    idx_flat = idx_y.reshape(-1)
+    sign = idx_flat >= n
+    idx = jnp.where(sign, idx_flat - n, idx_flat)
+    pxy = jnp.transpose(xy[idx].reshape(rg, lanes, k2), (0, 2, 1))
+    v = valid.astype(jnp.uint32)
+    if q_valid is not None:
+        v = v & q_valid[idx].reshape(rg, lanes).astype(jnp.uint32)
+    v = v | (sign.reshape(rg, lanes).astype(jnp.uint32) << 1)
+    return pxy, v
+
+
+def _groups_scan_core_xy(curve, plan: MsmPlan, rg: int, xy, order_y,
+                         b_start, b_end, n_groups, q_valid=None):
+    """fori_loop over round groups, packed-XY gather + scan kernel per
+    step. Traced n_groups: one executable per (N, c, rg)."""
+    spec = curve.field
+    k = spec.n_limbs
+    lanes = plan.lanes
+    mod = tuple(int(x) for x in spec.mod_limbs)
+    n0 = int(spec.n0inv)
+    one_m = tuple(int(x) for x in spec.one_mont_limbs)
+    tile = LANE_TILE if lanes % LANE_TILE == 0 else lanes
+    ntiles = lanes // tile
+    kernel = functools.partial(_accum_scan_kernel_xy, mod=mod, n0=n0, one_m=one_m)
+    coord_in = pl.BlockSpec((1, 2 * k, tile), lambda j, i: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+    flag_in = pl.BlockSpec((8, tile), lambda j, i: (i // 8, j), memory_space=pltpu.VMEM)
+    coord_acc = pl.BlockSpec((k, tile), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    exc_spec = pl.BlockSpec((8, tile), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+
+    def body(g, carry):
+        ax, ay, az, ae = carry
+        pxy, v = _gather_xy_rounds(plan, rg, xy, order_y, b_start, b_end,
+                                   g * rg, q_valid)
+        ax, ay, az, ae = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((k, lanes), jnp.uint32)] * 3
+            + [jax.ShapeDtypeStruct((8, lanes), jnp.uint32)],
+            grid=(ntiles, rg),
+            in_specs=[coord_acc, coord_acc, coord_acc, exc_spec,
+                      coord_in, flag_in],
+            out_specs=[coord_acc] * 3 + [exc_spec],
+        )(ax, ay, az, ae, pxy, v)
+        return (ax, ay, az, ae)
+
+    ax = jnp.zeros((k, lanes), jnp.uint32)
+    ay = jnp.zeros((k, lanes), jnp.uint32)
+    az = jnp.zeros((k, lanes), jnp.uint32)
+    ae = jnp.zeros((8, lanes), jnp.uint32)
+    return jax.lax.fori_loop(0, n_groups, body, (ax, ay, az, ae))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _msm_device_planned_fori_xy(curve, plan: MsmPlan, rg: int, xs, ys,
+                                scalars, point_valid):
+    spec = curve.field
+    order_y, b_start, b_end, occ = _plan_dev(plan, scalars, point_valid)
+    n_groups = (occ + rg - 1) // rg
+    xy = jnp.concatenate([xs, ys], axis=1)
+    return _groups_scan_core_xy(curve, plan, rg, xy, order_y,
+                                b_start, b_end, n_groups)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _accum_group_step_xy(curve, plan: MsmPlan, rg: int, ax, ay, az, ae,
+                         xy, order_y, b_start, b_end, q_valid, r0):
+    """One host-dispatched round group: packed gather + aliased kernel in
+    a single program (one dispatch round trip per group instead of two)."""
+    spec = curve.field
+    k = spec.n_limbs
+    lanes = plan.lanes
+    mod = tuple(int(x) for x in spec.mod_limbs)
+    n0 = int(spec.n0inv)
+    one_m = tuple(int(x) for x in spec.one_mont_limbs)
+    tile = LANE_TILE if lanes % LANE_TILE == 0 else lanes
+    ntiles = lanes // tile
+    pxy, v = _gather_xy_rounds(plan, rg, xy, order_y, b_start, b_end, r0, q_valid)
+    kernel = functools.partial(_accum_group_kernel_xy, mod=mod, n0=n0, one_m=one_m)
+    coord_in = pl.BlockSpec((1, 2 * k, tile), lambda j, i: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+    flag_in = pl.BlockSpec((8, tile), lambda j, i: (i // 8, j), memory_space=pltpu.VMEM)
+    coord_acc = pl.BlockSpec((k, tile), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    exc_spec = pl.BlockSpec((8, tile), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((k, lanes), jnp.uint32)] * 3
+        + [jax.ShapeDtypeStruct((8, lanes), jnp.uint32)],
+        grid=(ntiles, rg),
+        in_specs=[coord_acc, coord_acc, coord_acc, exc_spec, coord_in, flag_in],
+        out_specs=[coord_acc] * 3 + [exc_spec],
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+    )(ax, ay, az, ae, pxy, v)
+
+
+def _run_groups_xy(curve, gplan: MsmPlan, rg: int, xy, order_y,
+                   b_start, b_end, n_groups: int, q_valid=None):
+    """Host-loop packed-XY grouped accumulation (large N, where the
+    single-program fori form faults the TPU worker)."""
+    spec = curve.field
+    k = spec.n_limbs
+    lanes = gplan.lanes
+    ax = jnp.zeros((k, lanes), jnp.uint32)
+    ay = jnp.zeros((k, lanes), jnp.uint32)
+    az = jnp.zeros((k, lanes), jnp.uint32)
+    ae = jnp.zeros((8, lanes), jnp.uint32)
+    for g in range(n_groups):
+        ax, ay, az, ae = _accum_group_step_xy(
+            curve, gplan, rg, ax, ay, az, ae, xy, order_y, b_start, b_end,
+            q_valid, jnp.int32(g * rg))
+    return ax, ay, az, ae
+
+
+def _use_xy() -> bool:
+    import os
+
+    return os.environ.get("ZKPOA_MSM_XY", "1") != "0"
 
 
 def _msm_host_planned(curve, plan: MsmPlan, xs, ys, host_plan):
