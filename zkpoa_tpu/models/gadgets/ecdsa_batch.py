@@ -29,6 +29,7 @@ from typing import List, Optional, Sequence, Tuple
 
 from ..r1cs import LC, AnyLC, Circuit, Signal, _lc
 from . import bigint as B
+from .core import num2bits
 from .bigint import FF, FFU, FFSpec, ffu, ffu_add, ffu_const, ffu_scale, ffu_sub
 from .ec import (
     ECPoint,
@@ -289,6 +290,223 @@ def msm_ladder(
 
 
 # ---------------------------------------------------------------------------
+# Signed-odd-window ladder: nonzero digits, half-size tables.
+#
+# Scalars are recoded to base-16 digits d_j that are ODD and NONZERO
+# (d_j in {+-1, +-3, ..., +-15}), so a window table needs only the 8 odd
+# multiples {1,3,...,15}*B (one double + 7 adds, vs 15 adds for the
+# unsigned 16-entry j*B + D2 table) and the D2 offset machinery vanishes
+# (no zero digit to paper over). The sign applies INSIDE the window as a
+# linear y-negation (limbs p_i - y_i, one select mul per limb). Odd-only
+# digits exist exactly for ODD scalars; the two scalar sources handle
+# parity differently:
+#   * 256-bit b_i terms: s' = b_i + (1 - parity)*n — n*P = O on secp256k1
+#     (P has group order n), so s'*P == b_i*P exactly;
+#   * 128-bit challenge terms t_i on base R: t_i*R = (2t_i + 1)*H - H with
+#     H = (1/2 mod n)*R witnessed and checked by one doubling (2H == R);
+#     2t_i + 1 is odd by construction and H joins the final sum once.
+# ---------------------------------------------------------------------------
+
+
+def onehot8(c: Circuit, bits: Sequence[AnyLC]) -> List[LC]:
+    """One-hot of a 3-bit value: 9 mul constraints (vs 18 for 4 bits)."""
+    b0, b1, b2 = (_lc(b) for b in bits)
+    m01 = _lc(c.mul(b0, b1))
+    pair = [1 - b0 - b1 + m01, b0 - m01, b1 - m01, m01]
+    out = []
+    for j in range(8):
+        hi = b2 if j >= 4 else (1 - b2)
+        out.append(_lc(c.mul(pair[j & 3], hi)))
+    return out
+
+
+def _recode_signed_odd(v: int, n_windows: int) -> List[int]:
+    """v ODD -> n_windows base-16 digits, each odd in [-15, 15], with
+    v == sum_j d_j 16^j. Chooses d_j in {u, u-16} (u = v mod 16, odd) so
+    every partial quotient stays odd; the final digit is the remaining
+    quotient itself (|.| <= 15 when n_windows covers bitlen(v)/4 + 1)."""
+    assert v & 1, "signed-odd recoding needs an odd scalar"
+    digs: List[int] = []
+    for _ in range(n_windows - 1):
+        u = v & 15
+        q0 = (v - u) >> 4
+        d = u if (q0 & 1) else u - 16
+        digs.append(d)
+        v = (v - d) >> 4
+    assert v & 1 and -15 <= v <= 15, f"recoding tail {v} out of range"
+    digs.append(v)
+    return digs
+
+
+class SignedTerm:
+    """One signed-ladder term: per-window magnitude bits m (|d| = 2m+1),
+    sign bits s (d < 0), the 8-point odd-multiple table, and a flip flag
+    (term enters the sum negated — digit signs read inverted)."""
+
+    __slots__ = ("mbits", "sbits", "mvals", "svals", "table", "n_windows",
+                 "flip")
+
+    def __init__(self, mbits, sbits, mvals, svals, table, flip=False):
+        self.mbits = mbits
+        self.sbits = sbits
+        self.mvals = mvals
+        self.svals = svals
+        self.table = table
+        self.n_windows = len(mvals)
+        self.flip = flip
+
+
+def _alloc_digits(c: Circuit, dvals: Sequence[int]):
+    """Allocate digit witnesses: 3 magnitude bits + 1 sign bit per window.
+    Returns (mbits, sbits, mvals, svals, digit LCs) with
+    d = (1 + 2m)(1 - 2s) — one mul constraint per window."""
+    mbits, sbits, mvals, svals, dlcs = [], [], [], [], []
+    for d in dvals:
+        s = 1 if d < 0 else 0
+        m = (abs(d) - 1) // 2
+        m_sig = c.var(m)
+        mb = num2bits(c, m_sig, 3)
+        s_sig = c.var(s)
+        sb = num2bits(c, s_sig, 1)[0]
+        mag = _lc(m_sig) * 2 + 1
+        d_lc = mag - _lc(c.mul(s_sig, mag)) * 2
+        mbits.append(mb)
+        sbits.append(_lc(sb))
+        mvals.append(m)
+        svals.append(s)
+        dlcs.append(d_lc)
+    return mbits, sbits, mvals, svals, dlcs
+
+
+def _bind_digits(c: Circuit, spec_ff, dlcs, dvals, rhs_limbs, rhs_vals):
+    """Exact integer identity sum_j d_j 16^j == sum_t rhs_t 2^(n t), via
+    the shared signed carry chain (bigint.assert_limb_poly_zero)."""
+    wpl = spec_ff.n // WINDOW  # windows per limb column
+    ncols = max((len(dlcs) + wpl - 1) // wpl, len(rhs_limbs)) + 1
+    cols, vals = [], []
+    for t in range(ncols):
+        col = LC.const(0)
+        cv = 0
+        for j in range(t * wpl, min((t + 1) * wpl, len(dlcs))):
+            sh = 1 << (WINDOW * (j - t * wpl))
+            col = col + dlcs[j] * sh
+            cv += dvals[j] * sh
+        if t < len(rhs_limbs):
+            col = col - rhs_limbs[t]
+            cv -= rhs_vals[t]
+        cols.append(col)
+        vals.append(cv)
+    B.assert_limb_poly_zero(c, cols, vals, spec_ff)
+
+
+def _signed_table_const(c: Circuit, spec: ECSpec, base: Tuple[int, int]):
+    from .ec import ec_const
+
+    pts, acc = [], base
+    dbl = _ec_add_host(spec, base, base)
+    for m in range(8):
+        pts.append(ec_const(c, spec, acc))
+        if m < 7:
+            acc = _ec_add_host(spec, acc, dbl)
+    return pts
+
+
+def _signed_table_witness(c: Circuit, spec: ECSpec, base: ECPoint):
+    b2 = ec_double_checked(c, spec, base)
+    table = [base]
+    for _ in range(7):
+        table.append(ec_add_checked(c, spec, table[-1], b2))
+    return table
+
+
+def make_signed_term_ff(c: Circuit, spec: ECSpec, x: FF, base, tag: str,
+                        witness_base: bool, n_windows: int = 65,
+                        flip: bool = False) -> SignedTerm:
+    """Term for a full-width (<= 2^(4(L-1))) scalar given as an FF over the
+    GROUP ORDER field: digits encode s' = x + (1 - parity)*n, which scales
+    any order-n base identically to x."""
+    fr = x.spec
+    p0v = x.value & 1
+    p0 = c.var(p0v)
+    num2bits(c, p0, 1)
+    sp = x.value + (0 if p0v else fr.p)
+    dvals = _recode_signed_odd(sp, n_windows)
+    mbits, sbits, mvals, svals, dlcs = _alloc_digits(c, dvals)
+    # raw radix-2^n limbs of the modulus itself (to_limbs reduces mod p)
+    n_limbs_c = [(fr.p >> (fr.n * t)) & ((1 << fr.n) - 1) for t in range(fr.k)]
+    rhs = [x.limbs[t] + (1 - _lc(p0)) * int(n_limbs_c[t]) for t in range(fr.k)]
+    rhs_v = [(x.value >> (fr.n * t)) & ((1 << fr.n) - 1) for t in range(fr.k)]
+    rhs_v = [rv + (0 if p0v else int(n_limbs_c[t])) for t, rv in enumerate(rhs_v)]
+    _bind_digits(c, fr, dlcs, dvals, rhs, rhs_v)
+    table = (_signed_table_witness(c, spec, base) if witness_base
+             else _signed_table_const(c, spec, base))
+    return SignedTerm(mbits, sbits, mvals, svals, table, flip=flip)
+
+
+def make_signed_term_odd_scalar(c: Circuit, spec_ff, spec: ECSpec,
+                                scalar_limbs: Sequence[LC],
+                                scalar_limb_vals: Sequence[int],
+                                scalar_val: int,
+                                base: ECPoint, tag: str, n_windows: int,
+                                flip: bool = False) -> SignedTerm:
+    """Term for an already-ODD scalar given as limb LCs (e.g. 2t+1 from a
+    Fiat-Shamir challenge): digits bind directly to the limbs.
+    scalar_limb_vals are the exact LC values (limbs of 2t+1 may exceed
+    2^n — the carry chain absorbs that; masking scalar_val would misstate
+    the witness)."""
+    dvals = _recode_signed_odd(scalar_val, n_windows)
+    mbits, sbits, mvals, svals, dlcs = _alloc_digits(c, dvals)
+    assert sum(int(v) << (spec_ff.n * t)
+               for t, v in enumerate(scalar_limb_vals)) == scalar_val
+    _bind_digits(c, spec_ff, dlcs, dvals, list(scalar_limbs),
+                 [int(v) for v in scalar_limb_vals])
+    table = _signed_table_witness(c, spec, base)
+    return SignedTerm(mbits, sbits, mvals, svals, table, flip=flip)
+
+
+def _signed_mux_add(c: Circuit, spec: ECSpec, acc: ECPoint, t: SignedTerm,
+                    w: int) -> ECPoint:
+    """One window: 8-entry magnitude mux, linear sign negation of y
+    (y' = y + s*(p - 2y) limbwise), then the checked chord add."""
+    f = spec.field
+    oh = onehot8(c, t.mbits[w])
+    e = mux_points(c, spec, oh, t.table, t.mvals[w])
+    s_lc = (1 - t.sbits[w]) if t.flip else t.sbits[w]
+    s_v = (1 - t.svals[w]) if t.flip else t.svals[w]
+    # raw radix limbs of p (to_limbs reduces mod p -> zeros)
+    p_limbs = [(f.p >> (f.n * i)) & ((1 << f.n) - 1) for i in range(f.k)]
+    y_limbs = [
+        e.y.limbs[i] + _lc(c.mul(s_lc, int(p_limbs[i]) - e.y.limbs[i] * 2))
+        for i in range(f.k)
+    ]
+    y_val = (f.p - e.y.value % f.p) % f.p if s_v else e.y.value
+    e_signed = ECPoint(e.x, FF(f, y_limbs, y_val))
+    return ec_add_checked(c, spec, acc, e_signed)
+
+
+def signed_msm_ladder(c: Circuit, spec: ECSpec, terms: Sequence[SignedTerm],
+                      tag: str = "sladder") -> Tuple[ECPoint, Tuple[int, int]]:
+    """sum_t (+-)scalar_t * Base_t + OFFSET via the shared doubling chain;
+    every window of every term adds (digits are nonzero), short terms join
+    only their low windows. OFFSET = 2^(4 L_max) * D for the hashed-to-
+    curve initial accumulator D."""
+    from .ec import ec_const
+
+    l_max = max(t.n_windows for t in terms)
+    d = _sswu_ish_aux_point(spec, f"batch|{tag}|D")
+    acc = ec_const(c, spec, d)
+    for w in range(l_max - 1, -1, -1):
+        for _ in range(WINDOW):
+            acc = ec_double_checked(c, spec, acc)
+        for t in terms:
+            if w >= t.n_windows:
+                continue
+            acc = _signed_mux_add(c, spec, acc, t, w)
+    off = _ec_mul_host(spec, d, 1 << (WINDOW * l_max))
+    return acc, off
+
+
+# ---------------------------------------------------------------------------
 # Batch ECDSA* verification
 # ---------------------------------------------------------------------------
 
@@ -348,13 +566,13 @@ def batch_ecdsa_star_verify(
         u2s.append(u2)
 
     if b == 1:
-        bits1, v1 = _bits_from_ff(c, u1s[0])
-        bits2, v2 = _bits_from_ff(c, u2s[0])
         terms = [
-            make_term_const_base(c, spec, bits1, v1, spec.gen, f"{tag}|G"),
-            make_term_witness_base(c, spec, bits2, v2, sigs[0]["pubkey"], f"{tag}|P0"),
+            make_signed_term_ff(c, spec, u1s[0], spec.gen, f"{tag}|G",
+                                witness_base=False),
+            make_signed_term_ff(c, spec, u2s[0], sigs[0]["pubkey"],
+                                f"{tag}|P0", witness_base=True),
         ]
-        acc, off = msm_ladder(c, spec, terms, tag=tag)
+        acc, off = signed_msm_ladder(c, spec, terms, tag=tag)
         # acc == R + off
         target = _ec_add_host(spec, (r_points[0].x.value, r_points[0].y.value), off)
         rhs = ec_add_checked(
@@ -433,37 +651,46 @@ def batch_ecdsa_star_verify(
     one_fr = B.ff_const(c, fr, 1)
     B.ff_check_congruence(c, fr, [(one_fr, acc_u, 1)], None)
 
-    # ladder: A*G + sum_i b_i * P_i + sum_{i>=1} t_i * (-R_i)  ==  R_0
-    # (R_0 has coefficient t_0 = 1, so it moves to the equality target
-    # instead of paying a full ladder term; the t_i R-terms are 128-bit).
-    bitsA, vA = _bits_from_ff(c, A)
-    terms = [make_term_const_base(c, spec, bitsA, vA, spec.gen, f"{tag}|G")]
+    # ladder: A*G + sum_i b_i * P_i - sum_{i>=1} t_i * R_i  ==  R_0
+    # (R_0 has coefficient t_0 = 1, so it moves to the equality target).
+    # The 128-bit challenge terms use the halving trick: t_i * R_i =
+    # (2 t_i + 1) * H_i - H_i with H_i = (1/2 mod n) * R_i witnessed and
+    # bound by one doubling check — (2t+1) is odd, so the term joins the
+    # signed ladder's low 33 windows with a nonzero digit everywhere.
+    terms = [make_signed_term_ff(c, spec, A, spec.gen, f"{tag}|G",
+                                 witness_base=False)]
     for i in range(b):
-        bits_b, vb = _bits_from_ff(c, b_terms[i])
         terms.append(
-            make_term_witness_base(c, spec, bits_b, vb, sigs[i]["pubkey"], f"{tag}|P{i}")
+            make_signed_term_ff(c, spec, b_terms[i], sigs[i]["pubkey"],
+                                f"{tag}|P{i}", witness_base=True)
         )
-    one_q = B.ff_const(c, f, 1)
+    halves: List[ECPoint] = []
+    inv2 = pow(2, -1, fr.p)
     for i in range(1, b):
-        neg_r = ECPoint(
-            r_points[i].x,
-            B.ff_witness(c, f, (f.p - r_points[i].y.value % f.p) % f.p),
-        )
-        # constrain y_neg + y == 0 mod p
-        ysum = ffu_add(ffu(neg_r.y), ffu(r_points[i].y))
-        B.ff_check_congruence(c, f, [(one_q, ysum, 1)], None)
-        # the challenge's bit LCs come straight from the hash's num2bits
-        # (already boolean-constrained); the term declares 128 bits and
-        # joins only the ladder's low 32 windows
+        hv = _ec_mul_host(
+            spec, (r_points[i].x.value % f.p, r_points[i].y.value % f.p), inv2)
+        h_pt = ECPoint(B.ff_witness(c, f, hv[0]), B.ff_witness(c, f, hv[1]))
+        ec_on_curve_checked(c, spec, h_pt)
+        ec_assert_equal(c, spec, ec_double_checked(c, spec, h_pt), r_points[i])
+        halves.append(h_pt)
+        # scalar 2t+1: limb LCs double the challenge limbs, +1 on limb 0
+        tp_limbs = [t_chall[i].limbs[j] * 2 + (1 if j == 0 else 0)
+                    for j in range(fr.k)]
+        tmask = (1 << fr.n) - 1
+        tp_lvals = [2 * ((t_chall[i].value >> (fr.n * j)) & tmask)
+                    + (1 if j == 0 else 0) for j in range(fr.k)]
+        tp_val = 2 * t_chall[i].value + 1
         terms.append(
-            make_term_witness_base(
-                c, spec, t_bits[i], t_bvals[i], neg_r, f"{tag}|R{i}",
-                n_bits=CHALLENGE_BITS,
+            make_signed_term_odd_scalar(
+                c, fr, spec, tp_limbs, tp_lvals, tp_val, h_pt, f"{tag}|R{i}",
+                n_windows=(CHALLENGE_BITS + WINDOW) // WINDOW, flip=True,
             )
         )
 
-    acc, off = msm_ladder(c, spec, terms, tag=tag)
-    # acc == R_0 + off
+    acc, off = signed_msm_ladder(c, spec, terms, tag=tag)
+    # acc + sum_i H_i == R_0 + off   (the +H_i of every halved R-term)
+    for h_pt in halves:
+        acc = ec_add_checked(c, spec, acc, h_pt)
     off_pt = ECPoint(B.ff_const(c, f, off[0]), B.ff_const(c, f, off[1]))
     rhs = ec_add_checked(c, spec, r_points[0], off_pt)
     ec_assert_equal(c, spec, acc, rhs)

@@ -175,7 +175,41 @@ def run_workflow(
 
     # -- layer 1 (all batches share one proving key: the reference's
     # per-shape zkey, full_workflow.sh:303-323) ----------------------------
-    bench_lines: List[str] = []  # benchmarks.txt (reference convention)
+    # benchmarks.txt (reference convention: tests/*/benchmarks.txt) is
+    # REWRITTEN after every appended line and at every stage exit, so a
+    # run that dies mid-prove still leaves the constraint counts + stage
+    # timings of everything it completed (a 28-minute layer-2 attempt
+    # once left only a joblog line behind)
+    bench_path = os.path.join(build_dir, "benchmarks.txt")
+
+    def _flush_bench():
+        with open(bench_path, "w") as f:
+            f.write(f"config: {n}_sigs_{bplan.num_batches}_batches_{height}_height"
+                    f" mode={mode}\n\nconstraints:\n")
+            for line in bench_lines:
+                f.write(f"  {line}\n")
+            f.write("\nstage timings (s):\n")
+            for key, v in timings.items():
+                f.write(f"  {key}: {v:.2f}\n")
+
+    class _BenchLines(list):
+        def append(self, line):  # flush on every record
+            super().append(line)
+            _flush_bench()
+
+    bench_lines: List[str] = _BenchLines()
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def _stage_flushing(_t, name):
+        try:
+            with tracer.stage(name):
+                yield
+        finally:
+            _flush_bench()  # timings survive a stage that dies mid-prove
+
+    Stage = _stage_flushing
     san1s: List[Optional[dict]] = [None] * bplan.num_batches
     pk1_vk_jsons: List[Optional[dict]] = [None] * bplan.num_batches
 
@@ -418,14 +452,7 @@ def run_workflow(
 
     # benchmarks.txt: constraint counts + stage timings, the reference's
     # per-run record (tests/*/benchmarks.txt; feeds the C1(s)/C2(s,h) fits)
-    with open(os.path.join(build_dir, "benchmarks.txt"), "w") as f:
-        f.write(f"config: {n}_sigs_{bplan.num_batches}_batches_{height}_height"
-                f" mode={mode}\n\nconstraints:\n")
-        for line in bench_lines:
-            f.write(f"  {line}\n")
-        f.write("\nstage timings (s):\n")
-        for k, v in timings.items():
-            f.write(f"  {k}: {v:.2f}\n")
+    _flush_bench()
 
     _log(f"workflow OK: balance_sum={balance_sum} root={root}")
     return WorkflowResult(
