@@ -1,24 +1,36 @@
 #!/bin/bash
-# Chip-work queue: wait for the PID in $1 (the in-flight recursive run) to
-# exit, then run the queued hardware experiments back-to-back and commit
-# their artifacts. Survives session boundaries (nohup).
+# Chip-work queue: wait for the PID in $1 (an in-flight chip job) to exit,
+# then run the queued hardware experiments back-to-back and commit ONLY the
+# artifacts of experiments that exited cleanly (a timed-out run must not
+# sweep stale/partial JSONs — or anything another session staged — into a
+# "Record hardware artifacts" commit). Survives session boundaries (nohup).
 cd /root/repo || exit 1
 PID="${1:?usage: chip_queue.sh <pid-to-wait-for>}"
 while kill -0 "$PID" 2>/dev/null; do sleep 60; done
 sleep 15
+
+declare -a COMMIT_PATHS=()
+run_exp() { # run_exp <timeout_s> <artifact_path...> -- <cmd...>
+  local t="$1"; shift
+  local arts=()
+  while [ "$1" != "--" ]; do arts+=("$1"); shift; done
+  shift
+  echo "=== $* ($(date -u))"
+  if timeout "$t" "$@"; then
+    COMMIT_PATHS+=("${arts[@]}")
+  else
+    echo "=== FAILED/TIMED OUT (rc=$?): $* — artifacts NOT queued for commit"
+  fi
+}
+
 {
-  echo "=== recursive run exited; starting chip queue $(date -u)"
-  echo "=== msm_ab"
-  timeout 3000 python experiments/msm_ab.py 17 20
-  echo "=== hw_check stage8"
-  timeout 1800 python experiments/hw_check.py 8
-  echo "=== merkle_scale 2^20"
-  timeout 1800 python experiments/merkle_scale.py 20
-  echo "=== primitives"
-  timeout 2400 python experiments/primitives.py
+  echo "=== chip job $PID exited; starting chip queue $(date -u)"
+  run_exp 3000 experiments/MSM_AB.json -- python experiments/msm_ab.py 17 20
+  run_exp 1800 experiments/MERKLE_SCALE.json -- python experiments/merkle_scale.py 20
+  run_exp 2400 experiments/PRIMITIVES.json -- python experiments/primitives.py
   echo "=== chip queue done $(date -u)"
+  if [ "${#COMMIT_PATHS[@]}" -gt 0 ]; then
+    git add -- "${COMMIT_PATHS[@]}" && \
+      git commit -m "Record hardware lab artifacts" -- "${COMMIT_PATHS[@]}"
+  fi
 } >> /root/repo/tmp_chipqueue.log 2>&1
-git add experiments/MSM_AB.json experiments/MERKLE_SCALE.json \
-        experiments/PRIMITIVES.json build/recursive_run/RECURSIVE_RUN.json \
-        build/recursive_run/1_sigs_1_batches_5_height 2>/dev/null
-git commit -m "Record hardware artifacts: MSM A/B sweep, Merkle/primitives labs, recursive run" 2>/dev/null

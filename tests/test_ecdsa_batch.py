@@ -51,32 +51,27 @@ def test_checked_add_rejects_wrong_lambda():
     assert not r1cs.is_satisfied(wit2)
 
 
-def test_msm_ladder_small_scalars():
-    """16-bit ladder: A*G + k*P == expected (fast full-pipeline check)."""
+def test_signed_msm_ladder_small_scalars():
+    """Signed-odd-window ladder (the production path): a*G + k*P == expected
+    for small ODD scalars bound as odd-scalar terms (4 windows each)."""
+    from zkpoa_tpu.models.gadgets import bigint as B
+
     spec = EB.SECP256K1_EC
+    fr = B.SECP_FR
     c = Circuit()
-    a_val, k_val = 0xBEEF, 0xCAFE
+    a_val, k_val = 0xBEEF, 0xCAFF  # both odd
     p_host = _rand_point(777)
     p = E.ec_witness(c, spec, p_host)
+    g = E.ec_const(c, spec, spec.gen)
 
-    def mk_bits(v, nb):
-        sigs = []
-        vals = []
-        for i in range(nb):
-            bit = (v >> i) & 1
-            s = c.var(bit)
-            c.constrain(s, s - 1, 0)
-            sigs.append(s)
-            vals.append(bit)
-        return sigs, vals
+    def odd_term(v, base, tag):
+        limb_vals = [(v >> (fr.n * t)) & ((1 << fr.n) - 1) for t in range(fr.k)]
+        x = B.ff_witness(c, fr, v)
+        return EB.make_signed_term_odd_scalar(
+            c, fr, spec, x.limbs, limb_vals, v, base, tag, n_windows=4)
 
-    bits_a, va = mk_bits(a_val, 16)
-    bits_k, vk = mk_bits(k_val, 16)
-    terms = [
-        EB.make_term_const_base(c, spec, bits_a, va, spec.gen, "t|G"),
-        EB.make_term_witness_base(c, spec, bits_k, vk, p, "t|P"),
-    ]
-    acc, off = EB.msm_ladder(c, spec, terms, n_bits=16, tag="t16")
+    terms = [odd_term(a_val, g, "t|G"), odd_term(k_val, p, "t|P")]
+    acc, off = EB.signed_msm_ladder(c, spec, terms, tag="t16")
     expected = E._ec_add_host(
         spec,
         E._ec_add_host(

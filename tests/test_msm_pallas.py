@@ -190,10 +190,11 @@ def test_witness_plan_shared_tree_matches_heavy_split():
         MP.HEAVY_COUNT_MIN = old
 
 
-def test_gather_xy_matches_split_gather():
-    """The packed-XY gather (one [N, 2K] row gather + in-kernel sign)
-    must produce exactly the stream the split x/ys_ext gather feeds the
-    kernel: same x rows, same (sign-applied) y rows, same valid bits."""
+def test_gather_packed_matches_split_gather():
+    """The packed-row gather (one [N, K] row gather, x | y<<16 in 16-bit
+    halves, in-kernel sign) must produce exactly the stream the split
+    x/ys_ext gather feeds the kernel: same x rows, same (sign-applied)
+    y rows, same valid bits."""
     from zkpoa_tpu.ops import limbs as L
 
     rng = np.random.default_rng(11)
@@ -209,7 +210,7 @@ def test_gather_xy_matches_split_gather():
     xs = jnp.asarray(rng.integers(0, 2**16, size=(n, spec.n_limbs), dtype=np.uint32))
     ys = jnp.asarray(rng.integers(1, 2**16, size=(n, spec.n_limbs), dtype=np.uint32))
     ys_ext = M2._neg_y_ext(spec, ys)
-    xy = jnp.concatenate([xs, ys], axis=1)
+    xy = M2._pack_xy(xs, ys)
     q_valid = jnp.asarray(rng.integers(0, 2, size=(n,), dtype=np.uint32).astype(bool))
     for r0 in [0, rg]:
         px, py, v_old = M2._gather_group_masked(
@@ -219,11 +220,120 @@ def test_gather_xy_matches_split_gather():
             plan, rg, xy, order_y, b_start, b_end, jnp.int32(r0), q_valid)
         k = spec.n_limbs
         assert (np.asarray(v_new) & 1 == np.asarray(v_old)).all()
-        assert (np.asarray(pxy[:, :k, :]) == np.asarray(px)).all()
+        assert (np.asarray(pxy) & 0xFFFF == np.asarray(px)).all()
         # decode: sign lanes negate y mod p (exactly what the kernel does)
-        y_raw = jnp.transpose(pxy[:, k:, :], (0, 2, 1)).reshape(-1, k)
+        y_raw = jnp.transpose(pxy >> 16, (0, 2, 1)).reshape(-1, k)
         y_neg = L.sub_mod(spec, jnp.zeros_like(y_raw), y_raw)
         sign = ((np.asarray(v_new).reshape(-1) >> 1) & 1).astype(bool)
         y_dec = np.where(sign[:, None], np.asarray(y_neg), np.asarray(y_raw))
         py_flat = np.asarray(jnp.transpose(py, (0, 2, 1)).reshape(-1, k))
         assert (y_dec == py_flat).all()
+
+
+def test_packed_kernel_interpret_matches_jnp():
+    """Drive the packed-row Pallas kernel itself (unpack + in-kernel sign
+    negation + mixed add) in interpret mode and compare the bucket state
+    against the unified jnp accumulator on the equivalent split stream —
+    the packed kernel body is exactly what production runs on hardware."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from zkpoa_tpu.ops import limbs as L
+
+    rng = np.random.default_rng(5)
+    # tiny geometry (18-bit scalars, nw=5, nb=8, lanes=40): interpret mode
+    # executes the unrolled kernel body per grid step in Python
+    n, c = 64, 4
+    spec = BN254_G1.field
+    k = spec.n_limbs
+    scalars = [int(x) for x in rng.integers(1, 1 << 18, size=n, dtype=np.int64)]
+    sc = jnp.asarray(msm_mod.scalars_to_limbs(scalars))
+    plan = M2.MsmPlan(18, c, n, 8)
+    pv = jnp.ones((n,), dtype=bool)
+    order_y, b_start, b_end, occ = M2._plan_dev(plan, sc, pv)
+    rg = 8
+    # REAL curve points so the adds are well-defined group operations
+    pts = [bn254.g1_mul(bn254.G1_GEN, int(g)) for g in
+           rng.integers(1, 2**30, size=n, dtype=np.int64)]
+    xs = spec.encode([p[0] for p in pts])
+    ys = spec.encode([p[1] for p in pts])
+    xy = M2._pack_xy(xs, ys)
+    ys_ext = M2._neg_y_ext(spec, ys)
+    pxy, v = M2._gather_xy_rounds(plan, rg, xy, order_y, b_start, b_end,
+                                  jnp.int32(0), None)
+    px, py, v_old = M2._gather_group_masked(
+        BN254_G1, plan, rg, xs, ys_ext, order_y, b_start, b_end,
+        None, jnp.int32(0))
+
+    lanes = plan.lanes
+    mod = tuple(int(x) for x in spec.mod_limbs)
+    kernel = ft.partial(M2._accum_scan_kernel_xy, mod=mod,
+                        n0=int(spec.n0inv),
+                        one_m=tuple(int(x) for x in spec.one_mont_limbs))
+    from jax.experimental.pallas import tpu as pltpu
+
+    coord_in = pl.BlockSpec((1, k, lanes), lambda j, i: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+    flag_in = pl.BlockSpec((8, lanes), lambda j, i: (i // 8, j),
+                           memory_space=pltpu.VMEM)
+    coord_acc = pl.BlockSpec((k, lanes), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM)
+    exc_spec = pl.BlockSpec((8, lanes), lambda j, i: (0, j),
+                            memory_space=pltpu.VMEM)
+    z = jnp.zeros((k, lanes), jnp.uint32)
+    ze = jnp.zeros((8, lanes), jnp.uint32)
+    ox, oy, oz, oe = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((k, lanes), jnp.uint32)] * 3
+        + [jax.ShapeDtypeStruct((8, lanes), jnp.uint32)],
+        grid=(1, rg),
+        in_specs=[coord_acc, coord_acc, coord_acc, exc_spec, coord_in, flag_in],
+        out_specs=[coord_acc] * 3 + [exc_spec],
+        interpret=True,
+    )(z, z, z, ze, pxy, v)
+
+    jx, jy, jz, _ = M2._accumulate_jnp(spec, px, py, v_old)
+    assert int(jnp.sum(oe)) == 0  # no in-bucket doubles with distinct points
+    got = BN254_G1.decode_jac((ox.T, oy.T, oz.T))
+    want = BN254_G1.decode_jac((jx.T, jy.T, jz.T))
+    assert got == want
+
+
+def test_weighted_reduce_pallas_interpret_matches_xla():
+    """The Pallas weighted-reduce kernel (fold + double suffix scan with
+    VMEM-resident per-window state) must agree with the XLA reduce on the
+    same bucket state — including infinity lanes and equal-point lanes
+    (the full unified in-kernel Jacobian add)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(7)
+    spec = BN254_G1.field
+    k = spec.n_limbs
+    plan = M2.MsmPlan(4, 3, 64, 16)  # nw=2, nb=4, spread=2 (fold on)
+    lanes = plan.lanes
+    pts = [bn254.g1_mul(bn254.G1_GEN, int(g)) for g in
+           rng.integers(1, 2**28, size=lanes, dtype=np.int64)]
+    # equal neighbours at the first suffix shift: exercises is_double
+    pts[0] = pts[0 + 1]
+    xs = np.asarray(spec.encode([p[0] for p in pts]))
+    ys = np.asarray(spec.encode([p[1] for p in pts]))
+    one_m = np.asarray(spec.one_mont_limbs, dtype=np.uint32)
+    zs = np.broadcast_to(one_m, (lanes, k)).copy()
+    zs[3] = 0  # infinity lanes
+    zs[6] = 0
+    ox = jnp.asarray(xs.T.copy())
+    oy = jnp.asarray(ys.T.copy())
+    oz = jnp.asarray(zs.T.copy())
+
+    want = M2._weighted_reduce(
+        BN254_G1,
+        (ox.T.reshape(plan.nw, plan.nb, k),
+         oy.T.reshape(plan.nw, plan.nb, k),
+         oz.T.reshape(plan.nw, plan.nb, k)),
+        plan,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = M2._weighted_reduce_pallas(BN254_G1, plan, ox, oy, oz)
+    d_want = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], want))[0]
+    d_got = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], got))[0]
+    assert d_got == d_want

@@ -104,3 +104,99 @@ def test_workflow_resume_from_artifacts(tmp_path, monkeypatch):
     assert res2.merkle_root == res1.merkle_root
     expected = C.pedersen_commitment(res2.balance_sum, 0x5EED)
     assert C.point_equal(res2.commitment, expected)
+
+
+@pytest.mark.slow
+def test_workflow_remainder_batches(tmp_path):
+    """3 sigs at ideal batch size 2 -> two key SHAPES (a 2-sig batch and a
+    1-sig remainder batch): exercises _shape_groups end-to-end with two
+    per-shape proving keys (reference remainder handling,
+    full_workflow.sh batch plan)."""
+    sigs = tmp_path / "sigs.json"
+    anon = tmp_path / "anon.csv"
+    fixtures.write_fixtures(3, str(sigs), str(anon), extra=8)
+    blind = 0x0DD
+    res = run_workflow(
+        str(sigs), str(anon), blind,
+        build_root=str(tmp_path / "build"), ideal_batch_size=2,
+        mode="accounting", zkey_cache=str(tmp_path / "zkeys"),
+    )
+    plan = planner.plan(3, 2)
+    assert sorted(plan.batch_sizes()) == [1, 2]
+    assert res.num_batches == 2
+    # two shapes -> two layer-2 proving keys in the cache
+    import glob
+    keys = glob.glob(str(tmp_path / "zkeys" / "layer_two_*"))
+    assert len({k.split(".")[0] for k in keys}) == 2, keys
+    for bi in range(res.num_batches):
+        bdir = os.path.join(res.build_dir, f"batch_{bi}")
+        assert groth16.verify_files(
+            os.path.join(bdir, "layer_two_vkey.json"),
+            os.path.join(bdir, "proof.json"),
+            os.path.join(bdir, "public.json"),
+        )
+    expected = C.pedersen_commitment(res.balance_sum, blind)
+    assert C.point_equal(res.commitment, expected)
+
+
+@pytest.mark.slow
+def test_workflow_ptau_ceremony(tmp_path):
+    """Keys derive from a powers-of-tau ceremony file through the CLI
+    (--ptau + phase-2 contribute + beacon): the reference's production
+    setup path (g16_setup.sh:240-278), not the seeded dev SRS."""
+    from zkpoa_tpu.pipeline.workflow import main as wf_main
+    from zkpoa_tpu.prover.ptau import write_dev_ptau
+
+    sigs = tmp_path / "sigs.json"
+    anon = tmp_path / "anon.csv"
+    fixtures.write_fixtures(2, str(sigs), str(anon), extra=4)
+    ptau = tmp_path / "dev16.ptau"
+    write_dev_ptau(str(ptau), 14)
+    rc = wf_main([
+        str(sigs), str(anon), "0x5EED",
+        "-b", str(tmp_path / "build"), "-p", "1", "-H", "4",
+        "-z", str(tmp_path / "zkeys"),
+        "--ptau", str(ptau), "--contribute", "test-entropy", "--beacon", "beef",
+    ])
+    assert rc == 0
+    import glob
+    build_dir = glob.glob(str(tmp_path / "build" / "*_height"))[0]
+    # every cached key is ptau-derived (no dev-SRS key was created)
+    keys = glob.glob(str(tmp_path / "zkeys" / "*"))
+    assert keys and all(".ptau." in k for k in keys), keys
+    for bi in range(2):
+        bdir = os.path.join(build_dir, f"batch_{bi}")
+        assert groth16.verify_files(
+            os.path.join(bdir, "layer_two_vkey.json"),
+            os.path.join(bdir, "proof.json"),
+            os.path.join(bdir, "public.json"),
+        )
+
+
+@pytest.mark.slow
+def test_workflow_full_mode_e2e(tmp_path):
+    """Full-mode e2e at 1 signature: complete in-circuit ECDSA* layer-1 +
+    Keccak-address layer-2 (the reference's real protocol circuits,
+    tests/1_sigs_1_batches_5_height.sh) proved and verified end-to-end."""
+    sigs = tmp_path / "sigs.json"
+    anon = tmp_path / "anon.csv"
+    fixtures.write_fixtures(1, str(sigs), str(anon), extra=3)
+    blind = 0xF111
+    res = run_workflow(
+        str(sigs), str(anon), blind,
+        build_root=str(tmp_path / "build"), ideal_batch_size=1,
+        mode="full", zkey_cache=str(tmp_path / "zkeys"), tree_height=3,
+    )
+    assert res.num_batches == 1
+    bdir = os.path.join(res.build_dir, "batch_0")
+    # layer-2 proof + publics verify from disk; the layer-1 proof persists
+    # in sanitized register form next to its vkey (reference file shapes)
+    assert groth16.verify_files(
+        os.path.join(bdir, "layer_two_vkey.json"),
+        os.path.join(bdir, "proof.json"),
+        os.path.join(bdir, "public.json"),
+    )
+    assert os.path.exists(os.path.join(bdir, "layer_one_vkey.json"))
+    assert os.path.exists(os.path.join(bdir, "layer_one_sanitized_proof.json"))
+    expected = C.pedersen_commitment(res.balance_sum, blind)
+    assert C.point_equal(res.commitment, expected)

@@ -149,20 +149,6 @@ def ec_assert_equal(c: Circuit, spec: ECSpec, p1: ECPoint, p2: ECPoint) -> None:
 # ---------------------------------------------------------------------------
 
 
-def onehot4(c: Circuit, bits: Sequence[AnyLC]) -> List[LC]:
-    """One-hot of a 4-bit value from its (boolean-constrained) bits:
-    18 mul constraints, sums to 1 by construction."""
-    b0, b1, b2, b3 = (_lc(b) for b in bits)
-    m01 = _lc(c.mul(b0, b1))
-    pair_lo = [1 - b0 - b1 + m01, b0 - m01, b1 - m01, m01]
-    m23 = _lc(c.mul(b2, b3))
-    pair_hi = [1 - b2 - b3 + m23, b2 - m23, b3 - m23, m23]
-    out = []
-    for j in range(16):
-        out.append(_lc(c.mul(pair_lo[j & 3], pair_hi[j >> 2])))
-    return out
-
-
 def mux_points(
     c: Circuit, spec: ECSpec, onehot: Sequence[LC], table: Sequence[ECPoint],
     sel_value: int,
@@ -192,101 +178,6 @@ def mux_points(
     x = FF(f, mux_coord(lambda t: t.x.limbs), xv)
     y = FF(f, mux_coord(lambda t: t.y.limbs), yv)
     return ECPoint(x, y)
-
-
-# ---------------------------------------------------------------------------
-# Interleaved shared-doubling multi-scalar ladder
-# ---------------------------------------------------------------------------
-
-
-class LadderTerm:
-    """One MSM term: scalar bits (little-endian, boolean-constrained) and
-    a 16-entry table T[j] = j*Base + D2_t (T[0] = D2_t). Terms whose
-    scalar is KNOWN < 2^n_bits (e.g. 128-bit Fiat-Shamir challenges) only
-    join the ladder's low windows — half the mux-adds of a full-width
-    term."""
-
-    def __init__(self, bits: Sequence[AnyLC], bit_vals: Sequence[int],
-                 table: List[ECPoint], d2: Tuple[int, int],
-                 n_bits: Optional[int] = None):
-        self.bits = list(bits)
-        self.bit_vals = list(bit_vals)
-        self.table = table
-        self.d2 = d2
-        self.n_bits = n_bits if n_bits is not None else len(self.bits)
-        assert self.n_bits % WINDOW == 0 and len(self.bits) >= self.n_bits
-
-
-def make_term_const_base(
-    c: Circuit, spec: ECSpec, bits, bit_vals, base: Tuple[int, int], tag: str,
-    n_bits: Optional[int] = None,
-) -> LadderTerm:
-    """Term with a CONSTANT base (e.g. G): the whole table is constant."""
-    from .ec import ec_const
-
-    d2 = _sswu_ish_aux_point(spec, f"batch|{tag}|D2")
-    table = []
-    acc = d2
-    table.append(ec_const(c, spec, d2))
-    for _ in range(15):
-        acc = _ec_add_host(spec, acc, base)
-        table.append(ec_const(c, spec, acc))
-    return LadderTerm(bits, bit_vals, table, d2, n_bits)
-
-
-def make_term_witness_base(
-    c: Circuit, spec: ECSpec, bits, bit_vals, base: ECPoint, tag: str,
-    n_bits: Optional[int] = None,
-) -> LadderTerm:
-    """Term with a witness base (pubkeys, R points): 15 in-circuit adds."""
-    from .ec import ec_const
-
-    d2 = _sswu_ish_aux_point(spec, f"batch|{tag}|D2")
-    table = [ec_const(c, spec, d2)]
-    for _ in range(15):
-        table.append(ec_add_checked(c, spec, table[-1], base))
-    return LadderTerm(bits, bit_vals, table, d2, n_bits)
-
-
-def msm_ladder(
-    c: Circuit,
-    spec: ECSpec,
-    terms: Sequence[LadderTerm],
-    n_bits: int = 256,
-    tag: str = "ladder",
-) -> Tuple[ECPoint, Tuple[int, int]]:
-    """Compute sum_t scalar_t * Base_t + OFFSET with one shared doubling
-    chain: per 4-bit window (MSB first) 4 doubles then one mux-add per
-    term — terms only join windows below their declared n_bits (128-bit
-    challenge terms pay half the mux-adds). Returns (acc, offset) where
-    offset = 2^n_bits * D + sum_t (sum over t's windows of 2^(4w)) * D2_t
-    is the data-independent constant the caller must subtract (or fold
-    into its equality target)."""
-    assert n_bits % WINDOW == 0
-    nwin = n_bits // WINDOW
-    from .ec import ec_const
-
-    d = _sswu_ish_aux_point(spec, f"batch|{tag}|D")
-    acc = ec_const(c, spec, d)
-    for wstep in range(nwin - 1, -1, -1):
-        for _ in range(WINDOW):
-            acc = ec_double_checked(c, spec, acc)
-        for t in terms:
-            if WINDOW * wstep >= t.n_bits:
-                continue  # scalar known-zero above n_bits
-            bits = t.bits[WINDOW * wstep : WINDOW * (wstep + 1)]
-            bvals = t.bit_vals[WINDOW * wstep : WINDOW * (wstep + 1)]
-            sel = sum(v << i for i, v in enumerate(bvals))
-            oh = onehot4(c, bits)
-            entry = mux_points(c, spec, oh, t.table, sel)
-            acc = ec_add_checked(c, spec, acc, entry)
-
-    # offset = 2^n_bits * D + per-term window sums of D2_t
-    off = _ec_mul_host(spec, d, 1 << n_bits)
-    for t in terms:
-        wsum = sum(1 << (WINDOW * w) for w in range(t.n_bits // WINDOW))
-        off = _ec_add_host(spec, off, _ec_mul_host(spec, t.d2, wsum))
-    return acc, off
 
 
 # ---------------------------------------------------------------------------
@@ -511,12 +402,6 @@ def signed_msm_ladder(c: Circuit, spec: ECSpec, terms: Sequence[SignedTerm],
 # ---------------------------------------------------------------------------
 
 
-def _bits_from_ff(c: Circuit, x: FF) -> Tuple[List[Signal], List[int]]:
-    bits = ff_bits(c, x)
-    vals = [(x.value >> i) & 1 for i in range(len(bits))]
-    return bits, vals
-
-
 def batch_ecdsa_star_verify(
     c: Circuit,
     sigs: Sequence[dict],
@@ -558,8 +443,8 @@ def batch_ecdsa_star_verify(
         sinv_val = pow(s.value, -1, fr.p)
         sinv = B.ff_witness(c, fr, sinv_val)
         B.ff_check_congruence(c, fr, [(s, sinv, 1)], ffu_const(fr, 1), lin_sign=-1)
-        u1 = B.ff_witness(c, fr, m.value * sinv_val % fr.p, keep_bits=True)
-        u2 = B.ff_witness(c, fr, r.value * sinv_val % fr.p, keep_bits=True)
+        u1 = B.ff_witness(c, fr, m.value * sinv_val % fr.p)
+        u2 = B.ff_witness(c, fr, r.value * sinv_val % fr.p)
         B.ff_check_congruence(c, fr, [(m, sinv, 1)], ffu(u1), lin_sign=-1)
         B.ff_check_congruence(c, fr, [(r, sinv, 1)], ffu(u2), lin_sign=-1)
         u1s.append(u1)
@@ -598,8 +483,9 @@ def batch_ecdsa_star_verify(
         absorb.extend(sig["pubkey"].y.limbs)
     h = poseidon_sponge(c, absorb)
 
-    def challenge_from(h_lc):
-        """(FF over Fr, its 128 boolean-constrained bit LCs, bit values)"""
+    def challenge_from(h_lc) -> FF:
+        """Low 128 bits of h as an FF over Fr (bits boolean-constrained by
+        num2bits; the truncation binds through the bit LCs)."""
         h_val = c.eval_lc(h_lc)
         h_bits = num2bits(c, h_lc, 254)
         t_val = h_val & ((1 << CHALLENGE_BITS) - 1)
@@ -611,18 +497,14 @@ def batch_ecdsa_star_verify(
                 if idx < CHALLENGE_BITS:
                     acc_lc = acc_lc + _lc(h_bits[idx]) * (1 << bi_)
             t_limbs.append(acc_lc)
-        bits = list(h_bits[:CHALLENGE_BITS])
-        bvals = [(t_val >> j) & 1 for j in range(CHALLENGE_BITS)]
-        return FF(fr, t_limbs, t_val), bits, bvals
+        return FF(fr, t_limbs, t_val)
 
     # challenge chain: h_1 = h, h_{i+1} = Poseidon(h_i) — each yields the
     # low 128 bits (domain-separated by position in the chain)
     t_chall: List[Optional[FF]] = [None] * b
-    t_bits: List[Optional[list]] = [None] * b
-    t_bvals: List[Optional[list]] = [None] * b
     h_cur = h
     for i in range(1, b):
-        t_chall[i], t_bits[i], t_bvals[i] = challenge_from(h_cur)
+        t_chall[i] = challenge_from(h_cur)
         if i + 1 < b:
             h_cur = poseidon_sponge(c, [h_cur])
 
@@ -633,7 +515,7 @@ def batch_ecdsa_star_verify(
         av = ti.value * u1s[i].value % fr.p
         bv = ti.value * u2s[i].value % fr.p
         ai = B.ff_witness(c, fr, av)
-        bi = B.ff_witness(c, fr, bv, keep_bits=True)
+        bi = B.ff_witness(c, fr, bv)
         B.ff_check_congruence(c, fr, [(ti, u1s[i], 1)], ffu(ai), lin_sign=-1)
         B.ff_check_congruence(c, fr, [(ti, u2s[i], 1)], ffu(bi), lin_sign=-1)
         a_terms.append(ai)
@@ -643,7 +525,7 @@ def batch_ecdsa_star_verify(
     # the ladder scalar acts on G, whose order IS n, so A·G only depends
     # on A mod n — one congruence check binds the witness.
     a_sum_val = sum(x.value for x in a_terms)
-    A = B.ff_witness(c, fr, a_sum_val % fr.p, keep_bits=True)
+    A = B.ff_witness(c, fr, a_sum_val % fr.p)
     acc_u = ffu(a_terms[0])
     for x in a_terms[1:]:
         acc_u = ffu_add(acc_u, ffu(x))

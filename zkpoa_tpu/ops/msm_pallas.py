@@ -38,6 +38,7 @@ SURVEY.md §2.5); the whole pipeline is exact uint32 limb arithmetic.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -427,8 +428,13 @@ def _weighted_reduce(curve, buckets, plan: MsmPlan):
     suffix = suffix_scan(buckets)
     dsuffix = suffix_scan(suffix)
     totals = _tmap(lambda a: a[:, 0], dsuffix)  # [nw, K]
+    return _horner_windows(curve, totals, plan)
 
-    # Horner over windows, high first: res = ((T_hi * 2^c) + T_next) ...
+
+def _horner_windows(curve, totals, plan: MsmPlan):
+    """Combine per-window totals (leaves [nw, K]) with the 2^(c*w) window
+    weights: Horner over windows, high first: res = ((T_hi * 2^c) + T_next)."""
+    nw, c = plan.nw, plan.c
     res = _tmap(lambda a: a[nw - 1 : nw], totals)  # [1, K]
 
     def horner_body(i, res):
@@ -440,6 +446,122 @@ def _weighted_reduce(curve, buckets, plan: MsmPlan):
     if nw > 1:
         res = jax.lax.fori_loop(0, nw - 1, horner_body, res)
     return _tmap(lambda a: a[0], res)
+
+
+# ---------------------------------------------------------------------------
+# Pallas weighted reduction. The XLA-level reduce above runs its 2(c-1)
+# masked-roll full-Jacobian adds as separate [nw, nb]-wide XLA limb
+# programs — measured 259ms at c=13/N=2^20 (MSM_STAGES.json), the same
+# order as the whole bucket accumulation. This kernel keeps each window's
+# bucket state VMEM-resident across all scan steps: grid = (nw, S) with a
+# per-step (shift, keep-limit) table in SMEM driving the same fold /
+# double-suffix-scan schedule, full unified Jacobian adds in-kernel.
+# ---------------------------------------------------------------------------
+
+
+def _reduce_step_table(plan: MsmPlan) -> np.ndarray:
+    """Per-step [S, 4] int32 rows: (lane shift, keep-limit for the TOP
+    window, keep-limit for body windows, is_clear). Fold steps no-op on
+    body windows via a 0 keep-limit (all-infinity addend)."""
+    nb, c = plan.nb, plan.c
+    rows = []
+    if plan.spread > 1:
+        s = plan.spread
+        while s > 1:
+            s //= 2
+            sh = s * plan.top_stride
+            rows.append((sh, sh, 0, 0))  # fold: top window only
+        rows.append((0, plan.top_stride, nb, 1))  # clear stale top slots
+    for _ in range(2):  # suffix scan, twice
+        for st in range(c - 1):
+            sh = 1 << st
+            rows.append((sh, nb - sh, nb - sh, 0))
+    return np.asarray(rows, dtype=np.int32)
+
+
+def _reduce_scan_kernel(tbl_ref, ax_ref, ay_ref, az_ref,
+                        ox_ref, oy_ref, oz_ref, xs_s, ys_s, zs_s,
+                        *, mod, n0, nw):
+    w = pl.program_id(0)
+    s = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+    nb = ax_ref.shape[1]
+    k = ax_ref.shape[0]
+
+    @pl.when(s == 0)
+    def _seed():
+        xs_s[...] = ax_ref[...]
+        ys_s[...] = ay_ref[...]
+        zs_s[...] = az_ref[...]
+
+    shift = tbl_ref[s, 0]
+    lim = jnp.where(w == nw - 1, tbl_ref[s, 1], tbl_ref[s, 2])
+    is_clear = tbl_ref[s, 3]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (k, nb), 1)
+    keep = pos < lim
+
+    @pl.when(is_clear != 0)
+    def _clear():
+        zs_s[...] = jnp.where(keep, zs_s[...], jnp.uint32(0))
+
+    @pl.when(is_clear == 0)
+    def _fold_add():
+        amt = (nb - shift) % nb  # pltpu.roll shifts right; we roll left
+        rx = pltpu.roll(xs_s[...], amt, 1)
+        ry = pltpu.roll(ys_s[...], amt, 1)
+        rz = jnp.where(keep, pltpu.roll(zs_s[...], amt, 1), jnp.uint32(0))
+        # unified add in column chunks: the fully unrolled _k_jac_add's
+        # live temporaries on [K, 4096] rows blow the ~16MB scoped-VMEM
+        # budget (measured OOM at c=13); the post-roll add is lane-wise,
+        # so chunking the columns only bounds the temporary footprint
+        chunk = min(nb, 1024)
+        for c0 in range(0, nb, chunk):
+            sl = slice(c0, c0 + chunk)
+            x3, y3, z3 = PF._k_jac_add(
+                PF._rows(xs_s[:, sl]), PF._rows(ys_s[:, sl]),
+                PF._rows(zs_s[:, sl]),
+                PF._rows(rx[:, sl]), PF._rows(ry[:, sl]),
+                PF._rows(rz[:, sl]), mod, n0)
+            xs_s[:, sl] = PF._stack(x3)
+            ys_s[:, sl] = PF._stack(y3)
+            zs_s[:, sl] = PF._stack(z3)
+
+    ow = ox_ref.shape[2]  # 128 on hardware; = nb in tiny interpret tests
+
+    @pl.when(s == n_steps - 1)
+    def _emit():
+        ox_ref[0] = xs_s[:, :ow]
+        oy_ref[0] = ys_s[:, :ow]
+        oz_ref[0] = zs_s[:, :ow]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _weighted_reduce_pallas(curve, plan: MsmPlan, ox, oy, oz):
+    """Weighted bucket reduction with the scan steps in one Pallas program
+    (VMEM-resident per-window state); Horner over windows stays in XLA
+    (nw-1 tiny point ops). ox/oy/oz: [K, nw*nb] bucket Jacobians."""
+    spec = curve.field
+    k = spec.n_limbs
+    nw, nb = plan.nw, plan.nb
+    mod = tuple(int(x) for x in spec.mod_limbs)
+    tbl = jnp.asarray(_reduce_step_table(plan))
+    n_steps = int(tbl.shape[0])
+    kernel = functools.partial(_reduce_scan_kernel, mod=mod,
+                               n0=int(spec.n0inv), nw=nw)
+    ow = min(nb, 128)
+    win_in = pl.BlockSpec((k, nb), lambda w, s: (0, w), memory_space=pltpu.VMEM)
+    tot_out = pl.BlockSpec((1, k, ow), lambda w, s: (w, 0, 0),
+                           memory_space=pltpu.VMEM)
+    tx, ty, tz = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((nw, k, ow), jnp.uint32)] * 3,
+        grid=(nw, n_steps),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), win_in, win_in, win_in],
+        out_specs=[tot_out] * 3,
+        scratch_shapes=[pltpu.VMEM((k, nb), jnp.uint32)] * 3,
+    )(tbl, ox, oy, oz)
+    totals = (tx[:, :, 0], ty[:, :, 0], tz[:, :, 0])  # [nw, K] leaves
+    return _horner_windows(curve, totals, plan)
 
 
 # ---------------------------------------------------------------------------
@@ -695,7 +817,7 @@ def _msm_device_planned(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
     order_y, b_start, b_end, occ = _plan_dev(plan, scalars, point_valid)
     n_groups = (int(occ) + rg - 1) // rg
     if _use_xy():
-        xy = jnp.concatenate([xs, ys], axis=1)
+        xy = _pack_xy(xs, ys)
         return _run_groups_xy(curve, plan, rg, xy, order_y,
                               b_start, b_end, n_groups)
     ys_ext = _neg_y_ext(curve.field, ys)
@@ -720,7 +842,7 @@ def _msm_accum_shared(curve, plan: MsmPlan, rg: int, xs, ys,
     query's own infinity mask applied per gathered lane."""
     n_groups = (int(occ) + rg - 1) // rg
     if _use_xy():
-        xy = jnp.concatenate([xs, ys], axis=1)
+        xy = _pack_xy(xs, ys)
         return _run_groups_xy(curve, plan, rg, xy, order_y,
                               b_start, b_end, n_groups, q_valid=q_valid)
     ys_ext = _neg_y_ext(curve.field, ys)
@@ -843,26 +965,35 @@ def _neg_y_ext(spec: FieldSpec, ys):
 
 
 # ---------------------------------------------------------------------------
-# Packed-XY accumulation: ONE [N, 2K] row gather per round group — half the
-# gather traffic of the separate x-table + negated-y-table scheme (the
-# measured N=2^20 bottleneck: ~N*nw 64-byte row gathers dominate the
-# accumulation wall time while the Pallas kernel itself is ~10x faster) —
-# with the digit sign applied INSIDE the kernel (y <- p - y on sign lanes,
-# one limb subtract per round vs materializing a 2N-row ys_ext table per
-# MSM). Flag stream carries bit0 = valid, bit1 = sign.
+# Packed-row accumulation: ONE [N, K] uint32 row per point carrying BOTH
+# affine coordinates — limb j holds x_j | (y_j << 16) (the limbs are 16-bit
+# values in uint32 slots, so the high half is free). One 64-byte-row gather
+# per point visit instead of two. Measured N=2^20 gather rates (MSM_STAGES):
+# [N, 16]u32 rows gather at ~88 Mrows/s while [N, 32] rows drop to ~23 —
+# XLA's row gather is per-ROW-cost-bound at 16 columns, so the round-3
+# "packed-XY" [N, 2K] layout made gathers 4x slower; this layout keeps the
+# fast width AND halves the row count. The digit sign is applied INSIDE the
+# kernel (y <- p - y on sign lanes) so no 2N-row ys_ext table is built.
+# Flag stream carries bit0 = valid, bit1 = sign.
 # ---------------------------------------------------------------------------
+
+
+def _pack_xy(xs, ys):
+    """[N, K] 16-bit-limb coordinate arrays -> [N, K] packed rows."""
+    return xs | (ys << 16)
 
 
 def _kernel_xy_step(pxy_ref, v_ref, ox_ref, oy_ref, oz_ref, oe_ref, r,
                     mod, n0, one_m):
-    """Shared body of the packed-XY kernels: unpack x/y, apply the sign,
-    run the mixed add against the VMEM-resident accumulator."""
+    """Shared body of the packed-row kernels: unpack x/y from the 16-bit
+    halves, apply the sign, run the mixed add against the VMEM-resident
+    accumulator."""
     k = ox_ref.shape[0]
     x1 = [ox_ref[j] for j in range(k)]
     y1 = [oy_ref[j] for j in range(k)]
     z1 = [oz_ref[j] for j in range(k)]
-    xq = [pxy_ref[0, j] for j in range(k)]
-    yq = [pxy_ref[0, k + j] for j in range(k)]
+    xq = [pxy_ref[0, j] & jnp.uint32(0xFFFF) for j in range(k)]
+    yq = [pxy_ref[0, j] >> 16 for j in range(k)]
     vw = v_ref[r % 8]
     vq = (vw & 1) != 0
     sq = (vw & 2) != 0
@@ -903,7 +1034,7 @@ def _accum_group_kernel_xy(ax, ay, az, ae, pxy_ref, v_ref,
 
 def _gather_xy_rounds(plan: MsmPlan, rg: int, xy, order_y, b_start, b_end,
                       r0, q_valid=None):
-    """Gather rg rounds of the packed point stream: [rg, 2K, lanes] rows
+    """Gather rg rounds of the packed point stream: [rg, K, lanes] rows
     plus a [rg, lanes] uint32 flag stream (bit0 valid, bit1 sign). Same
     index math as _gather_group; one gather instead of two."""
     n, lanes = plan.n, plan.lanes
@@ -937,7 +1068,7 @@ def _groups_scan_core_xy(curve, plan: MsmPlan, rg: int, xy, order_y,
     tile = LANE_TILE if lanes % LANE_TILE == 0 else lanes
     ntiles = lanes // tile
     kernel = functools.partial(_accum_scan_kernel_xy, mod=mod, n0=n0, one_m=one_m)
-    coord_in = pl.BlockSpec((1, 2 * k, tile), lambda j, i: (i, 0, j),
+    coord_in = pl.BlockSpec((1, k, tile), lambda j, i: (i, 0, j),
                             memory_space=pltpu.VMEM)
     flag_in = pl.BlockSpec((8, tile), lambda j, i: (i // 8, j), memory_space=pltpu.VMEM)
     coord_acc = pl.BlockSpec((k, tile), lambda j, i: (0, j), memory_space=pltpu.VMEM)
@@ -971,7 +1102,7 @@ def _msm_device_planned_fori_xy(curve, plan: MsmPlan, rg: int, xs, ys,
     spec = curve.field
     order_y, b_start, b_end, occ = _plan_dev(plan, scalars, point_valid)
     n_groups = (occ + rg - 1) // rg
-    xy = jnp.concatenate([xs, ys], axis=1)
+    xy = _pack_xy(xs, ys)
     return _groups_scan_core_xy(curve, plan, rg, xy, order_y,
                                 b_start, b_end, n_groups)
 
@@ -991,7 +1122,7 @@ def _accum_group_step_xy(curve, plan: MsmPlan, rg: int, ax, ay, az, ae,
     ntiles = lanes // tile
     pxy, v = _gather_xy_rounds(plan, rg, xy, order_y, b_start, b_end, r0, q_valid)
     kernel = functools.partial(_accum_group_kernel_xy, mod=mod, n0=n0, one_m=one_m)
-    coord_in = pl.BlockSpec((1, 2 * k, tile), lambda j, i: (i, 0, j),
+    coord_in = pl.BlockSpec((1, k, tile), lambda j, i: (i, 0, j),
                             memory_space=pltpu.VMEM)
     flag_in = pl.BlockSpec((8, tile), lambda j, i: (i // 8, j), memory_space=pltpu.VMEM)
     coord_acc = pl.BlockSpec((k, tile), lambda j, i: (0, j), memory_space=pltpu.VMEM)
@@ -1101,6 +1232,13 @@ def _msm_accum_stage(curve, plan: MsmPlan, px, py, vstream):
 def _msm_reduce_stage(curve, plan: MsmPlan, ox, oy, oz):
     k = curve.field.n_limbs
     nb, nw = plan.nb, plan.nw
+    if (
+        jax.default_backend() != "cpu"
+        and nb >= 128
+        and os.environ.get("ZKPOA_PALLAS") != "0"
+        and os.environ.get("ZKPOA_REDUCE_PALLAS", "1") != "0"
+    ):
+        return _weighted_reduce_pallas(curve, plan, ox, oy, oz)
 
     def unlm(a):
         return a.T.reshape(nw, nb, k)

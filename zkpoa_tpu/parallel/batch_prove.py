@@ -35,7 +35,7 @@ def msm_batch_parallel(
     scalars sharded. Returns a Jacobian pytree with leaves [NB, K].
     NB must be divisible by the axis size; `plan` must bound every batch's
     occupancy (take the max over per-batch plans)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     if point_valid is None:
         point_valid = jnp.ones((plan.n,), dtype=bool)

@@ -51,7 +51,7 @@ def msm_sharded(
     """MSM with points+scalars sharded along `axis` of `mesh`. Returns an
     unsharded Jacobian point. N must divide the axis size (pad with
     point_valid=False upstream if needed)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     ndev = mesh.shape[axis]
 
@@ -141,7 +141,7 @@ def msm_batch_sharded(
     Point/bucket partial sums cross only the ICI axis (an all_gather +
     log-depth unified adds — point addition is not a psum reduction);
     nothing crosses DCN. Returns a Jacobian pytree with leaves [NB, ...]."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     di = mesh.shape[data_axis]
 

@@ -113,7 +113,7 @@ def quotient_dist(a_ev, b_ev, c_ev, mesh: Mesh, axis: str = "data"):
     [n, K] (replicated or host arrays); output is h coefficients [n, K]
     in natural order. Each of the 7 transforms does one all_to_all;
     everything else is elementwise on the shards."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = BN254_FR
     n = a_ev.shape[0]

@@ -106,6 +106,9 @@ def run_workflow(
     setup_seed: str = "zkpoa-test-srs",
     profile: bool = False,
     resume: bool = False,
+    ptau_path: Optional[str] = None,
+    contribute_entropy: Optional[str] = None,
+    beacon_hash: Optional[str] = None,
 ) -> WorkflowResult:
     # logs land in <build_root>/logs during input prep, then move under the
     # sized build dir naming once the batch plan is known
@@ -132,6 +135,42 @@ def run_workflow(
         f"{n} sigs, batch size {bplan.batch_size} x {bplan.num_batches} batches"
         f" (remainder {bplan.remainder}), tree height {height}, mode={mode}"
     )
+
+    # benchmarks.txt (reference convention: tests/*/benchmarks.txt) is
+    # REWRITTEN after every appended line and at every stage exit — from the
+    # merkle build onward — so a run that dies mid-prove still leaves the
+    # constraint counts + stage timings of everything it completed (a
+    # 28-minute layer-2 attempt once left only a joblog line behind)
+    bench_path = os.path.join(build_dir, "benchmarks.txt")
+
+    def _flush_bench():
+        with open(bench_path, "w") as f:
+            f.write(f"config: {n}_sigs_{bplan.num_batches}_batches_{height}_height"
+                    f" mode={mode}\n\nconstraints:\n")
+            for line in bench_lines:
+                f.write(f"  {line}\n")
+            f.write("\nstage timings (s):\n")
+            for key, v in timings.items():
+                f.write(f"  {key}: {v:.2f}\n")
+
+    class _BenchLines(list):
+        def append(self, line):  # flush on every record
+            super().append(line)
+            _flush_bench()
+
+    bench_lines: List[str] = _BenchLines()
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def _stage_flushing(_t, name):
+        try:
+            with tracer.stage(name):
+                yield
+        finally:
+            _flush_bench()  # timings survive a stage that dies mid-prove
+
+    Stage = _stage_flushing
 
     # -- Merkle engine (reference L5, the Rust merkle-tree binary) --------
     # Built in a background thread, overlapped with the layer-1 work —
@@ -175,41 +214,12 @@ def run_workflow(
 
     # -- layer 1 (all batches share one proving key: the reference's
     # per-shape zkey, full_workflow.sh:303-323) ----------------------------
-    # benchmarks.txt (reference convention: tests/*/benchmarks.txt) is
-    # REWRITTEN after every appended line and at every stage exit, so a
-    # run that dies mid-prove still leaves the constraint counts + stage
-    # timings of everything it completed (a 28-minute layer-2 attempt
-    # once left only a joblog line behind)
-    bench_path = os.path.join(build_dir, "benchmarks.txt")
-
-    def _flush_bench():
-        with open(bench_path, "w") as f:
-            f.write(f"config: {n}_sigs_{bplan.num_batches}_batches_{height}_height"
-                    f" mode={mode}\n\nconstraints:\n")
-            for line in bench_lines:
-                f.write(f"  {line}\n")
-            f.write("\nstage timings (s):\n")
-            for key, v in timings.items():
-                f.write(f"  {key}: {v:.2f}\n")
-
-    class _BenchLines(list):
-        def append(self, line):  # flush on every record
-            super().append(line)
-            _flush_bench()
-
-    bench_lines: List[str] = _BenchLines()
-
-    import contextlib
-
-    @contextlib.contextmanager
-    def _stage_flushing(_t, name):
-        try:
-            with tracer.stage(name):
-                yield
-        finally:
-            _flush_bench()  # timings survive a stage that dies mid-prove
-
-    Stage = _stage_flushing
+    # ceremony routing: every per-layer setup below derives from the same
+    # .ptau file when one is given (reference g16_setup.sh:240-278 semantics:
+    # one ceremony serves all circuits that fit its power)
+    setup_kw = dict(seed=setup_seed, ptau_path=ptau_path,
+                    contribute_entropy=contribute_entropy,
+                    beacon_hash=beacon_hash)
     san1s: List[Optional[dict]] = [None] * bplan.num_batches
     pk1_vk_jsons: List[Optional[dict]] = [None] * bplan.num_batches
 
@@ -269,7 +279,7 @@ def run_workflow(
             with Stage(timings, f"layer1 setup ({len(batches[bi0])} sigs)"):
                 pk1 = cached_setup(
                     r1_0, zkey_cache, f"layer_one_{len(batches[bi0])}_sigs",
-                    seed=setup_seed,
+                    **setup_kw,
                 )
             with Stage(timings, f"layer1 prove batches {group}"):
                 proofs1 = _prove_many(
@@ -359,7 +369,7 @@ def run_workflow(
             pk2 = cached_setup(
                 r2_0, zkey_cache,
                 f"layer_two_{mode}_{len(batches[bi0])}_sigs_{height}_height",
-                seed=setup_seed,
+                **setup_kw,
             )
         with Stage(timings, f"layer2 prove batches {group}"):
             proofs2 = _prove_many(
@@ -408,7 +418,8 @@ def run_workflow(
                 f"wires ({bplan.num_batches} batches, {mode})"
             )
             pk3 = cached_setup(
-                r3, zkey_cache, f"layer_three_{bplan.num_batches}_batches", seed=setup_seed
+                r3, zkey_cache, f"layer_three_{bplan.num_batches}_batches",
+                **setup_kw,
             )
             proof3 = prove(pk3, r3, w3, seed="l3")
             vk3 = groth16.VerifyingKey.from_json(pk3.vk_json)
@@ -430,7 +441,7 @@ def run_workflow(
             r3, w3 = c3.compile()
             pk3 = cached_setup(
                 r3, zkey_cache, f"layer_three_sum_{bplan.num_batches}_batches",
-                seed=setup_seed,
+                **setup_kw,
             )
             proof3 = prove(pk3, r3, w3, seed="l3")
             vk3 = groth16.VerifyingKey.from_json(pk3.vk_json)
@@ -577,6 +588,16 @@ def main(argv=None) -> int:
     ap.add_argument("-r", "--resume", action="store_true",
                     help="reuse completed per-batch layer artifacts from a "
                          "previous (partial) run of the same build dir")
+    ap.add_argument("--ptau", default=None, metavar="PATH",
+                    help="powers-of-tau ceremony file: layer keys derive "
+                         "from it instead of the seeded dev SRS (reference "
+                         "g16_setup.sh ptau contract)")
+    ap.add_argument("--contribute", default=None, metavar="ENTROPY",
+                    help="phase-2 contribution entropy applied to every "
+                         "ptau-derived key (requires --ptau)")
+    ap.add_argument("--beacon", default=None, metavar="HASH",
+                    help="phase-2 beacon randomizer applied after the "
+                         "contribution (requires --ptau)")
     args = ap.parse_args(argv)
 
     res = run_workflow(
@@ -590,6 +611,9 @@ def main(argv=None) -> int:
         tree_height=args.tree_height,
         profile=args.profile,
         resume=args.resume,
+        ptau_path=args.ptau,
+        contribute_entropy=args.contribute,
+        beacon_hash=args.beacon,
     )
     _log(json.dumps({"build_dir": res.build_dir, "balance_sum": str(res.balance_sum),
                      "merkle_root": str(res.merkle_root),

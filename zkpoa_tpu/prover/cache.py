@@ -42,10 +42,22 @@ def cached_setup(
     cache_dir: Optional[str],
     name: str,
     seed: str = "zkpoa-test-srs",
+    ptau_path: Optional[str] = None,
+    contribute_entropy: Optional[str] = None,
+    beacon_hash: Optional[str] = None,
 ) -> ProvingKey:
     """setup() with an on-disk cache. `name` is the human-readable
     size-encoded key name (reference convention), e.g.
-    'layer_two_2_sigs_12_height'."""
+    'layer_two_2_sigs_12_height'.
+
+    With `ptau_path`, keys derive from the powers-of-tau ceremony file
+    instead of the seeded dev SRS — the reference's production path
+    (`snarkjs zkey new` + contribute + beacon, g16_setup.sh:240-278) —
+    and the cache is keyed on the ptau file digest + phase-2 params."""
+    if ptau_path is not None:
+        return _cached_setup_ptau(
+            r1cs, cache_dir, name, ptau_path, contribute_entropy, beacon_hash
+        )
     if r1cs.n_constraints > DEVICE_SETUP_MIN_CONSTRAINTS:
         if cache_dir is None:
             return setup_device(r1cs, seed=seed)
@@ -66,6 +78,55 @@ def cached_setup(
         with open(path, "rb") as f:
             return pickle.load(f)
     pk = setup(r1cs, seed=seed)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(pk, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+    return pk
+
+
+def _ptau_digest(ptau_path: str) -> str:
+    h = hashlib.sha256()
+    with open(ptau_path, "rb") as f:
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break
+            h.update(chunk)
+    return h.hexdigest()[:16]
+
+
+def _cached_setup_ptau(
+    r1cs: R1CS,
+    cache_dir: Optional[str],
+    name: str,
+    ptau_path: str,
+    contribute_entropy: Optional[str],
+    beacon_hash: Optional[str],
+) -> ProvingKey:
+    """Ceremony-derived key: phase 1 from the .ptau file, optional phase-2
+    contribution + beacon (reference g16_setup.sh:255-278). Cached as a
+    host pickle keyed on (circuit shape, ptau digest, phase-2 params)."""
+    from . import ptau as P
+
+    def build() -> ProvingKey:
+        pk = P.setup_from_ptau(r1cs, ptau_path)
+        if contribute_entropy is not None:
+            pk = P.contribute(pk, contribute_entropy)
+        if beacon_hash is not None:
+            pk = P.beacon(pk, beacon_hash)
+        return pk
+
+    if cache_dir is None:
+        return build()
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = f"{_ptau_digest(ptau_path)}|{contribute_entropy}|{beacon_hash}"
+    digest = _shape_digest(r1cs, tag)
+    path = os.path.join(cache_dir, f"{name}.ptau.{digest}.pk")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    pk = build()
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(pk, f, protocol=pickle.HIGHEST_PROTOCOL)
