@@ -9,10 +9,15 @@ H-query MSM of ~64M, and one G2 MSM of 58M (~2.5x G1 cost) — roughly
 360M G1-point-equivalents/min ~= 6.0 Mpoints/s. vs_baseline = ours / 6.0.
 
 Uses the fused Pallas MSM (zkpoa_tpu.ops.msm_pallas): VMEM-resident
-buckets, signed digits, top-window spreading. Timing protocol: K separate
-device calls are queued back-to-back (async dispatch) and synced with one
-tiny fetch; per-MSM time is the K=3 vs K=1 difference so the tunnel round
-trip and fixed dispatch costs cancel.
+buckets, signed digits, top-window spreading, packed 16-bit x|y rows,
+materialized round-major index stream, in-kernel weighted reduction.
+
+TIMING PROTOCOL (fixed since round 3 — do not change without recording a
+crossover measurement): min single-run wall latency over 6 trials, where
+each run ends in a 4-byte on-device-sliced fetch (the axon tunnel's
+block_until_ready returns early; a full fetch would time the ~25MB/s
+tunnel instead of the op). Each timed run includes the device planning
+(digit recode + sort) exactly as a standalone prover MSM pays it.
 
 Correctness is checked exactly: the bench points are P_i = g_i * G for
 host-known g_i, so the true MSM result is (sum_i s_i * g_i mod r) * G —
@@ -137,6 +142,12 @@ def main():
                 "value": round(mpoints_s, 4),
                 "unit": "Mpoints/s",
                 "vs_baseline": round(mpoints_s / CPU_BASELINE_MPOINTS_S, 4),
+                # regression guard: previous rounds' values under the SAME
+                # protocol (min single-run latency, internal fetch sync;
+                # fixed since round 3 — round 2 used K-chain differencing
+                # and is not comparable)
+                "prev_rounds": {"r3": 0.4505},
+                "config": {"log_n": log_n, "c": c},
             }
         )
     )

@@ -43,16 +43,22 @@ extern "C" {
 // scalars: uint32 [n, n_limbs] 16-bit limbs, little-endian.
 // valid: uint8 [n] or nullptr. order_y: int32 [nw, n] (pre-zeroed by the
 // caller). b_start/b_end: int32 [nw, nb].
-int64_t zkpoa_msm_plan(const uint32_t* scalars, int64_t n, int n_limbs,
-                       int n_bits, int c, const uint8_t* valid,
-                       int32_t* order_y, int32_t* b_start, int32_t* b_end) {
+// top_stride_in: the caller's power-of-two top-window alias stride (must
+// match MsmPlan.top_stride — tighter than 2^rem when scalars are known
+// field elements); <= 0 selects the legacy 2^rem.
+int64_t zkpoa_msm_plan2(const uint32_t* scalars, int64_t n, int n_limbs,
+                        int n_bits, int c, int top_stride_in,
+                        const uint8_t* valid, int32_t* order_y,
+                        int32_t* b_start, int32_t* b_end) {
   if (c < 2 || c > 14 || n <= 0) return -1;
   const int nw = (n_bits + c - 1) / c;
   if (c * nw <= n_bits) return -1;  // top window must not carry out
   if (nw > 64) return -1;  // neg_mask is 64-bit (callers fall back)
   const int nb = 1 << (c - 1);
   const int rem = n_bits - c * (nw - 1);
-  const int top_stride = 1 << rem;
+  const int top_stride = top_stride_in > 0 ? top_stride_in : (1 << rem);
+  if (top_stride > (1 << rem) || (top_stride & (top_stride - 1)) != 0)
+    return -1;
   const int64_t spread = nb / top_stride > 0 ? nb / top_stride : 1;
   const uint32_t half = 1u << (c - 1);
   const uint32_t full = 1u << c;
@@ -127,6 +133,14 @@ int64_t zkpoa_msm_plan(const uint32_t* scalars, int64_t n, int n_limbs,
     }
   }
   return occ;
+}
+
+// Legacy entry (stride = 2^rem) kept for ABI compatibility.
+int64_t zkpoa_msm_plan(const uint32_t* scalars, int64_t n, int n_limbs,
+                       int n_bits, int c, const uint8_t* valid,
+                       int32_t* order_y, int32_t* b_start, int32_t* b_end) {
+  return zkpoa_msm_plan2(scalars, n, n_limbs, n_bits, c, 0, valid, order_y,
+                         b_start, b_end);
 }
 
 }  // extern "C"

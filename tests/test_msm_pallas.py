@@ -191,10 +191,10 @@ def test_witness_plan_shared_tree_matches_heavy_split():
 
 
 def test_gather_packed_matches_split_gather():
-    """The packed-row gather (one [N, K] row gather, x | y<<16 in 16-bit
-    halves, in-kernel sign) must produce exactly the stream the split
-    x/ys_ext gather feeds the kernel: same x rows, same (sign-applied)
-    y rows, same valid bits."""
+    """The materialized-stream packed gather (one [N, K] row gather,
+    x | y<<16 in 16-bit halves, in-kernel sign, zero-row invalidity) must
+    produce exactly the stream the split x/ys_ext gather feeds the
+    kernel: same x rows, same (sign-applied) y rows, same valid bits."""
     from zkpoa_tpu.ops import limbs as L
 
     rng = np.random.default_rng(11)
@@ -206,28 +206,37 @@ def test_gather_packed_matches_split_gather():
     pv = jnp.ones((n,), dtype=bool)
     order_y, b_start, b_end, occ = M2._plan_dev(plan, sc, pv)
     rg = 8
+    rounds = 2 * rg
     # random Montgomery-ish coordinate tables (values only flow through)
     xs = jnp.asarray(rng.integers(0, 2**16, size=(n, spec.n_limbs), dtype=np.uint32))
     ys = jnp.asarray(rng.integers(1, 2**16, size=(n, spec.n_limbs), dtype=np.uint32))
     ys_ext = M2._neg_y_ext(spec, ys)
-    xy = M2._pack_xy(xs, ys)
     q_valid = jnp.asarray(rng.integers(0, 2, size=(n,), dtype=np.uint32).astype(bool))
+    xy = M2._pack_xy(xs, ys, q_valid=q_valid)
+    idx_enc = M2._materialize_stream(plan, rounds, order_y, b_start, b_end)
+    k = spec.n_limbs
     for r0 in [0, rg]:
         px, py, v_old = M2._gather_group_masked(
             BN254_G1, plan, rg, xs, ys_ext, order_y, b_start, b_end,
             q_valid, jnp.int32(r0))
-        pxy, v_new = M2._gather_xy_rounds(
-            plan, rg, xy, order_y, b_start, b_end, jnp.int32(r0), q_valid)
-        k = spec.n_limbs
-        assert (np.asarray(v_new) & 1 == np.asarray(v_old)).all()
-        assert (np.asarray(pxy) & 0xFFFF == np.asarray(px)).all()
-        # decode: sign lanes negate y mod p (exactly what the kernel does)
+        idx_g = jax.lax.dynamic_slice_in_dim(idx_enc, r0, rg, axis=0)
+        pxy, v_new = M2._gather_rows_pk(plan, xy, idx_g)
+        # v_old already folds q_valid; the packed path folds it as an
+        # all-zero row instead, so: valid_old == valid_new & row_nonzero
+        row_nz = (np.asarray(pxy) != 0).any(axis=1)
+        v_eff = (np.asarray(v_new) & 1).astype(bool) & row_nz
+        assert (v_eff == np.asarray(v_old).astype(bool)).all()
+        # where the query point is valid, rows carry the exact coords
+        qmask = v_eff.reshape(-1)
+        pxf = np.asarray(pxy & 0xFFFF).transpose(0, 2, 1).reshape(-1, k)
+        pxo = np.asarray(px).transpose(0, 2, 1).reshape(-1, k)
+        assert (pxf[qmask] == pxo[qmask]).all()
         y_raw = jnp.transpose(pxy >> 16, (0, 2, 1)).reshape(-1, k)
         y_neg = L.sub_mod(spec, jnp.zeros_like(y_raw), y_raw)
         sign = ((np.asarray(v_new).reshape(-1) >> 1) & 1).astype(bool)
         y_dec = np.where(sign[:, None], np.asarray(y_neg), np.asarray(y_raw))
         py_flat = np.asarray(jnp.transpose(py, (0, 2, 1)).reshape(-1, k))
-        assert (y_dec == py_flat).all()
+        assert (y_dec[qmask] == py_flat[qmask]).all()
 
 
 def test_packed_kernel_interpret_matches_jnp():
@@ -259,8 +268,8 @@ def test_packed_kernel_interpret_matches_jnp():
     ys = spec.encode([p[1] for p in pts])
     xy = M2._pack_xy(xs, ys)
     ys_ext = M2._neg_y_ext(spec, ys)
-    pxy, v = M2._gather_xy_rounds(plan, rg, xy, order_y, b_start, b_end,
-                                  jnp.int32(0), None)
+    idx_enc = M2._materialize_stream(plan, rg, order_y, b_start, b_end)
+    pxy, v = M2._gather_rows_pk(plan, xy, idx_enc)
     px, py, v_old = M2._gather_group_masked(
         BN254_G1, plan, rg, xs, ys_ext, order_y, b_start, b_end,
         None, jnp.int32(0))

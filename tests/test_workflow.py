@@ -108,22 +108,22 @@ def test_workflow_resume_from_artifacts(tmp_path, monkeypatch):
 
 @pytest.mark.slow
 def test_workflow_remainder_batches(tmp_path):
-    """3 sigs at ideal batch size 2 -> two key SHAPES (a 2-sig batch and a
+    """5 sigs at ideal batch size 2 -> two key SHAPES (2-sig batches and a
     1-sig remainder batch): exercises _shape_groups end-to-end with two
     per-shape proving keys (reference remainder handling,
     full_workflow.sh batch plan)."""
     sigs = tmp_path / "sigs.json"
     anon = tmp_path / "anon.csv"
-    fixtures.write_fixtures(3, str(sigs), str(anon), extra=8)
+    fixtures.write_fixtures(5, str(sigs), str(anon), extra=8)
     blind = 0x0DD
     res = run_workflow(
         str(sigs), str(anon), blind,
         build_root=str(tmp_path / "build"), ideal_batch_size=2,
         mode="accounting", zkey_cache=str(tmp_path / "zkeys"),
     )
-    plan = planner.plan(3, 2)
-    assert sorted(plan.batch_sizes()) == [1, 2]
-    assert res.num_batches == 2
+    plan = planner.plan(5, 2)
+    assert sorted(plan.batch_sizes()) == [1, 2, 2]
+    assert res.num_batches == 3
     # two shapes -> two layer-2 proving keys in the cache
     import glob
     keys = glob.glob(str(tmp_path / "zkeys" / "layer_two_*"))

@@ -44,13 +44,13 @@ def _load():
     if path is None:
         return None
     lib = ctypes.CDLL(path)
-    lib.zkpoa_msm_plan.argtypes = [
+    lib.zkpoa_msm_plan2.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
     ]
-    lib.zkpoa_msm_plan.restype = ctypes.c_int64
+    lib.zkpoa_msm_plan2.restype = ctypes.c_int64
     return lib
 
 
@@ -67,9 +67,12 @@ def plan_stream(
     n_bits: int,
     c: int,
     point_valid: Optional[np.ndarray] = None,
+    top_stride: int = 0,
 ) -> Tuple[int, np.ndarray, np.ndarray, np.ndarray]:
     """(raw_rounds, order_y [nw, N] int32, b_start, b_end [nw, nb] int32)
-    — bit-identical to msm_pallas.plan_msm + _stream_indices_host."""
+    — bit-identical to msm_pallas.plan_msm + _stream_indices_host.
+    `top_stride` must match the consumer MsmPlan's top-window alias
+    stride (0 = legacy 2^rem)."""
     lib = _load()
     assert lib is not None, "native planner unavailable"
     sc = np.ascontiguousarray(scalars_limbs, dtype=np.uint32)
@@ -84,9 +87,9 @@ def plan_stream(
     if point_valid is not None:
         pv = np.ascontiguousarray(point_valid, dtype=np.uint8)
         pv_ptr = pv.ctypes.data_as(ctypes.c_void_p)
-    occ = lib.zkpoa_msm_plan(
+    occ = lib.zkpoa_msm_plan2(
         sc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        n, n_limbs, n_bits, c, pv_ptr,
+        n, n_limbs, n_bits, c, top_stride, pv_ptr,
         order_y.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         b_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         b_end.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -51,6 +51,10 @@ from . import limbs as L
 from . import pallas_field as PF
 from .limbs import LIMB_BITS, FieldSpec
 
+# BN254 group order (public constant): bounds the top window digit of any
+# reduced scalar — see MsmPlan.top_stride
+_BN254_R = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+
 ROUND_GRANULE = 16  # static round counts rounded up to this (compile reuse)
 HOST_PLAN_MIN_N = 1 << 18  # above this, plan streams on the host (numpy):
 # the device-sort XLA program takes ~10 min to remote-compile at N ~ 10^6
@@ -83,7 +87,15 @@ class MsmPlan:
         rem = n_bits - c * (self.nw - 1)
         self.range_top = (1 << rem) + 1  # top |digit| in [0, 2^rem]
         # nonzero top digits d have (d-1) in [0, 2^rem) — 2^rem slots, a
-        # power of two: aliases tile the full bucket range at this stride
+        # power of two: aliases tile the full bucket range at this stride.
+        # NOTE (measured, r4): for BN254 scalars the top window only
+        # populates (r >> (c*(nw-1))) + 1 of its 2^rem digit values (e.g.
+        # 97 of 128 at c=13), so its per-slot occupancy runs ~2^rem/(that)
+        # above the body windows and sets the global round bound (439 vs
+        # body ~330 at N=2^20/c=13). A balanced fix needs non-power-of-two
+        # alias blocks (and a block-fold in the reduce); until then prefer
+        # window widths whose top window divides evenly (c=12 at 254 bits
+        # fills all 4 top digit values).
         self.top_stride = 1 << rem
         self.spread = max(self.nb // self.top_stride, 1)
         self.rounds = rounds
@@ -195,23 +207,31 @@ def _digits_signed_jnp(scalars: jnp.ndarray, plan: MsmPlan):
 
 
 def _sort_and_starts(slots, signs, point_valid, plan: MsmPlan):
-    """Per-window stable sort by bucket slot. Returns (order_y [nw, N] int32
+    """Per-window sort by bucket slot. Returns (order_y [nw, N] int32
     gather indices into the [2N]-extended y table encoding the sign,
-    order_x [nw, N], b_start/b_end [nw, nb])."""
+    order_x [nw, N], b_start/b_end [nw, nb]).
+
+    One variadic lax.sort carries the sign-encoded index as the VALUE, so
+    the sorted keys and sorted sign-indices come out of the sort directly
+    — the old argsort + two [nw, N] take_along_axis gathers paid the
+    ~13ns/element gather tax twice on top of the sort. Stability is not
+    required: any within-bucket visit order accumulates the same sum."""
     n = plan.n
     nb = plan.nb
     key = jnp.where(slots > 0, slots - 1, nb)  # invalid/skip -> sentinel nb
     if point_valid is not None:
         key = jnp.where(point_valid[None, :], key, nb)
-    order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)  # [nw, N]
-    key_sorted = jnp.take_along_axis(key, order, axis=1)
-    sign_sorted = jnp.take_along_axis(signs, order, axis=1)
+    idx_y = (jnp.arange(n, dtype=jnp.int32)[None, :]
+             + jnp.where(signs, jnp.int32(n), jnp.int32(0)))
+    key_sorted, order_y = jax.lax.sort(
+        (key.astype(jnp.int32), jnp.broadcast_to(idx_y, key.shape)),
+        dimension=1, num_keys=1, is_stable=False)
     bucket_ids = jnp.arange(nb + 1, dtype=key_sorted.dtype)
     starts = jax.vmap(lambda row: jnp.searchsorted(row, bucket_ids, side="left"))(
         key_sorted
     )  # [nw, nb + 1]
-    order_y = order + jnp.where(sign_sorted, jnp.int32(n), jnp.int32(0))
-    return order_y, order, starts[:, :-1], starts[:, 1:]
+    order_x = jnp.where(order_y >= n, order_y - n, order_y)
+    return order_y, order_x, starts[:, :-1], starts[:, 1:]
 
 
 # ---------------------------------------------------------------------------
@@ -585,8 +605,12 @@ def plan_and_stream(
     sc = np.asarray(scalars_limbs)
     nb_ = n_bits if plan is None else plan.n_bits
     c_ = c if plan is None else plan.c
+    # geometry probe: the native planner must lay buckets out with the
+    # same top-window alias stride the kernels/reduce expect
+    stride = MsmPlan(nb_, c_, sc.shape[0], ROUND_GRANULE).top_stride
     if nplan.available(nb_, c_):
-        occ, oy, bs, be = nplan.plan_stream(sc, nb_, c_, point_valid_np)
+        occ, oy, bs, be = nplan.plan_stream(sc, nb_, c_, point_valid_np,
+                                            top_stride=stride)
         if plan is None:
             rounds = ((occ + ROUND_GRANULE - 1) // ROUND_GRANULE) * ROUND_GRANULE
             plan = MsmPlan(n_bits, c, sc.shape[0], rounds)
@@ -797,29 +821,32 @@ FORI_MAX_N = 1 << 21  # single-program (fori) accumulation is stable and
 
 
 def _msm_device_planned(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
-                        point_valid):
+                        point_valid, rounds_cap: int = 0):
     """Fully device-resident MSM: digit recode + bucket sort on device,
-    then grouped Pallas accumulation — as ONE fori program up to
-    FORI_MAX_N (fewer dispatch round trips), as per-group host-dispatched
-    programs above it (the fori form faults the worker at N ~ 7.2M). No
-    per-MSM host uploads at all — host planning shipped a [nw, N] int32
-    order table through the tunnel every call (~100MB at N=2^20, the
-    dominant measured cost), while the prover's scalars are either
-    uploaded once per proof (witness) or already live in HBM (the
-    h-operand straight out of the NTT). `plan` carries rounds=rg so one
-    executable serves every occupancy."""
-    if plan.n <= FORI_MAX_N:
-        if _use_xy():
-            return _msm_device_planned_fori_xy(curve, plan, rg, xs, ys,
-                                               scalars, point_valid)
+    then grouped Pallas accumulation. With a real `rounds_cap` (the
+    caller's plan.rounds from actual planning of these scalars) and
+    N <= FORI_MAX_N this is ONE fori program with a statically sized
+    materialized index stream — zero host syncs; otherwise the occupancy
+    syncs to the host once and groups dispatch from a host loop (the fori
+    form faults the TPU worker at N ~ 7.2M). No per-MSM host uploads at
+    all — host planning shipped a [nw, N] int32 order table through the
+    tunnel every call (~100MB at N=2^20, the dominant measured cost),
+    while the prover's scalars are either uploaded once per proof
+    (witness) or already live in HBM (the h-operand straight out of the
+    NTT)."""
+    if plan.n <= FORI_MAX_N and rounds_cap and _use_xy():
+        return _msm_device_planned_fori_xy(curve, plan, rg, rounds_cap,
+                                           xs, ys, scalars, point_valid)
+    if plan.n <= FORI_MAX_N and not _use_xy():
         return _msm_device_planned_fori(curve, plan, rg, xs, ys, scalars,
                                         point_valid)
     order_y, b_start, b_end, occ = _plan_dev(plan, scalars, point_valid)
     n_groups = (int(occ) + rg - 1) // rg
     if _use_xy():
         xy = _pack_xy(xs, ys)
-        return _run_groups_xy(curve, plan, rg, xy, order_y,
-                              b_start, b_end, n_groups)
+        idx_enc = _materialize_stream_j(plan, n_groups * rg, order_y,
+                                        b_start, b_end)
+        return _run_groups_pk(curve, plan, rg, xy, idx_enc, n_groups)
     ys_ext = _neg_y_ext(curve.field, ys)
     return _run_groups(curve, plan, rg, xs, ys_ext, order_y,
                        b_start, b_end, n_groups)
@@ -837,14 +864,19 @@ def _msm_device_planned_fori(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
 
 
 def _msm_accum_shared(curve, plan: MsmPlan, rg: int, xs, ys,
-                      order_y, b_start, b_end, occ, q_valid):
-    """Grouped accumulation against a SHARED device plan, with the
-    query's own infinity mask applied per gathered lane."""
+                      order_y, b_start, b_end, occ, q_valid,
+                      idx_enc=None):
+    """Grouped accumulation against a SHARED device plan. On the packed
+    path the query's own infinity mask folds into all-zero rows (detected
+    in-kernel) and `idx_enc` (the materialized round stream) is reused
+    across every query sharing the plan."""
     n_groups = (int(occ) + rg - 1) // rg
     if _use_xy():
-        xy = _pack_xy(xs, ys)
-        return _run_groups_xy(curve, plan, rg, xy, order_y,
-                              b_start, b_end, n_groups, q_valid=q_valid)
+        xy = _pack_xy(xs, ys, q_valid=q_valid)
+        if idx_enc is None:
+            idx_enc = _materialize_stream_j(plan, n_groups * rg, order_y,
+                                            b_start, b_end)
+        return _run_groups_pk(curve, plan, rg, xy, idx_enc, n_groups)
     ys_ext = _neg_y_ext(curve.field, ys)
     return _run_groups(curve, plan, rg, xs, ys_ext, order_y,
                        b_start, b_end, n_groups, q_valid=q_valid)
@@ -978,9 +1010,49 @@ def _neg_y_ext(spec: FieldSpec, ys):
 # ---------------------------------------------------------------------------
 
 
-def _pack_xy(xs, ys):
-    """[N, K] 16-bit-limb coordinate arrays -> [N, K] packed rows."""
-    return xs | (ys << 16)
+def _pack_xy(xs, ys, q_valid=None):
+    """[N, K] 16-bit-limb coordinate arrays -> [N, K] packed rows. With
+    `q_valid`, invalid points become ALL-ZERO rows — (0,0) is never an
+    affine curve point, so the kernel detects them without a per-query
+    validity gather (the per-group q_valid[idx] gather cost as much as the
+    row gather itself)."""
+    xy = xs | (ys << 16)
+    if q_valid is not None:
+        xy = xy * q_valid.astype(jnp.uint32)[:, None]
+    return xy
+
+
+def _materialize_stream(plan: MsmPlan, rounds: int, order_y, b_start, b_end):
+    """Round-major index stream [rounds, lanes] int32, built ONCE per plan:
+    entry = the order_y value (sign encoded as +N) or the 2N sentinel when
+    the bucket run is exhausted. The per-group order_y[pos] gather costs as
+    much as the point-row gather itself (~13ns/element, MSM_STAGES.json);
+    materializing it lets every MSM sharing the plan (a/b1/b2) reuse it and
+    turns the per-group index fetch into a contiguous slice."""
+    n, lanes = plan.n, plan.lanes
+    r_idx = jnp.arange(rounds, dtype=jnp.int32)
+    pos = b_start[None, :, :] + r_idx[:, None, None]
+    valid = pos < b_end[None, :, :]
+    pos_c = jnp.minimum(pos, n - 1)
+    idx_y = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_y, pos_c)
+    idx_enc = jnp.where(valid, idx_y, jnp.int32(2 * n))
+    return idx_enc.reshape(rounds, lanes)
+
+
+def _gather_rows_pk(plan: MsmPlan, xy, idx_enc):
+    """idx_enc [rg, lanes] (order_y value or 2N sentinel) -> packed rows
+    [rg, K, lanes] + flag stream [rg, lanes] (bit0 valid, bit1 sign)."""
+    n = plan.n
+    rg, lanes = idx_enc.shape
+    k = xy.shape[1]
+    flat = idx_enc.reshape(-1)
+    valid = flat < 2 * n
+    sign = flat >= n
+    row = jnp.where(valid, flat - jnp.where(sign, n, 0), 0)
+    pxy = jnp.transpose(xy[row].reshape(rg, lanes, k), (0, 2, 1))
+    v = (valid.astype(jnp.uint32)
+         | ((sign & valid).astype(jnp.uint32) << 1)).reshape(rg, lanes)
+    return pxy, v
 
 
 def _kernel_xy_step(pxy_ref, v_ref, ox_ref, oy_ref, oz_ref, oe_ref, r,
@@ -995,7 +1067,12 @@ def _kernel_xy_step(pxy_ref, v_ref, ox_ref, oy_ref, oz_ref, oe_ref, r,
     xq = [pxy_ref[0, j] & jnp.uint32(0xFFFF) for j in range(k)]
     yq = [pxy_ref[0, j] >> 16 for j in range(k)]
     vw = v_ref[r % 8]
-    vq = (vw & 1) != 0
+    # all-zero rows are per-query invalid points ((0,0) is never on the
+    # curve) — masked here instead of gathering a q_valid stream
+    nz = pxy_ref[0, 0]
+    for j in range(1, k):
+        nz = nz | pxy_ref[0, j]
+    vq = jnp.logical_and((vw & 1) != 0, nz != 0)
     sq = (vw & 2) != 0
     zero = [jnp.zeros_like(yq[0])] * k
     yneg = PF.k_sub_mod(zero, yq, mod)
@@ -1032,33 +1109,11 @@ def _accum_group_kernel_xy(ax, ay, az, ae, pxy_ref, v_ref,
                     mod, n0, one_m)
 
 
-def _gather_xy_rounds(plan: MsmPlan, rg: int, xy, order_y, b_start, b_end,
-                      r0, q_valid=None):
-    """Gather rg rounds of the packed point stream: [rg, K, lanes] rows
-    plus a [rg, lanes] uint32 flag stream (bit0 valid, bit1 sign). Same
-    index math as _gather_group; one gather instead of two."""
-    n, lanes = plan.n, plan.lanes
-    k2 = xy.shape[1]
-    r_idx = r0 + jnp.arange(rg, dtype=jnp.int32)
-    pos = b_start[None, :, :] + r_idx[:, None, None]
-    valid = (pos < b_end[None, :, :]).reshape(rg, lanes)
-    pos_c = jnp.minimum(pos, n - 1)
-    idx_y = jax.vmap(lambda o, p: o[p], in_axes=(0, 1), out_axes=1)(order_y, pos_c)
-    idx_flat = idx_y.reshape(-1)
-    sign = idx_flat >= n
-    idx = jnp.where(sign, idx_flat - n, idx_flat)
-    pxy = jnp.transpose(xy[idx].reshape(rg, lanes, k2), (0, 2, 1))
-    v = valid.astype(jnp.uint32)
-    if q_valid is not None:
-        v = v & q_valid[idx].reshape(rg, lanes).astype(jnp.uint32)
-    v = v | (sign.reshape(rg, lanes).astype(jnp.uint32) << 1)
-    return pxy, v
-
-
-def _groups_scan_core_xy(curve, plan: MsmPlan, rg: int, xy, order_y,
-                         b_start, b_end, n_groups, q_valid=None):
-    """fori_loop over round groups, packed-XY gather + scan kernel per
-    step. Traced n_groups: one executable per (N, c, rg)."""
+def _groups_scan_core_xy(curve, plan: MsmPlan, rg: int, xy, idx_enc,
+                         n_groups):
+    """fori_loop over round groups: contiguous slice of the materialized
+    index stream + packed row gather + scan kernel per step. Traced
+    n_groups: one executable per (N, c, rg, rounds_cap)."""
     spec = curve.field
     k = spec.n_limbs
     lanes = plan.lanes
@@ -1076,8 +1131,8 @@ def _groups_scan_core_xy(curve, plan: MsmPlan, rg: int, xy, order_y,
 
     def body(g, carry):
         ax, ay, az, ae = carry
-        pxy, v = _gather_xy_rounds(plan, rg, xy, order_y, b_start, b_end,
-                                   g * rg, q_valid)
+        idx_g = jax.lax.dynamic_slice_in_dim(idx_enc, g * rg, rg, axis=0)
+        pxy, v = _gather_rows_pk(plan, xy, idx_g)
         ax, ay, az, ae = pl.pallas_call(
             kernel,
             out_shape=[jax.ShapeDtypeStruct((k, lanes), jnp.uint32)] * 3
@@ -1096,22 +1151,30 @@ def _groups_scan_core_xy(curve, plan: MsmPlan, rg: int, xy, order_y,
     return jax.lax.fori_loop(0, n_groups, body, (ax, ay, az, ae))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _msm_device_planned_fori_xy(curve, plan: MsmPlan, rg: int, xs, ys,
-                                scalars, point_valid):
-    spec = curve.field
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _msm_device_planned_fori_xy(curve, plan: MsmPlan, rg: int, rounds_cap: int,
+                                xs, ys, scalars, point_valid):
+    """Single-program device-planned MSM. `rounds_cap` is the static round
+    bound the stream materializes to: the caller's plan.rounds when real
+    planning produced one (the occupancy of these very scalars), else a
+    multiple of rg; groups beyond the cap never run because n_groups =
+    ceil(occ / rg) <= cap / rg by construction."""
     order_y, b_start, b_end, occ = _plan_dev(plan, scalars, point_valid)
-    n_groups = (occ + rg - 1) // rg
+    n_groups = jnp.minimum((occ + rg - 1) // rg, rounds_cap // rg)
     xy = _pack_xy(xs, ys)
-    return _groups_scan_core_xy(curve, plan, rg, xy, order_y,
-                                b_start, b_end, n_groups)
+    idx_enc = _materialize_stream(plan, rounds_cap, order_y, b_start, b_end)
+    return _groups_scan_core_xy(curve, plan, rg, xy, idx_enc, n_groups)
+
+
+_materialize_stream_j = jax.jit(_materialize_stream,
+                                static_argnums=(0, 1))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _accum_group_step_xy(curve, plan: MsmPlan, rg: int, ax, ay, az, ae,
-                         xy, order_y, b_start, b_end, q_valid, r0):
-    """One host-dispatched round group: packed gather + aliased kernel in
-    a single program (one dispatch round trip per group instead of two)."""
+def _accum_group_step_pk(curve, plan: MsmPlan, rg: int, ax, ay, az, ae,
+                         xy, idx_enc, r0):
+    """One host-dispatched round group: contiguous index-stream slice +
+    packed row gather + aliased kernel in a single program."""
     spec = curve.field
     k = spec.n_limbs
     lanes = plan.lanes
@@ -1120,7 +1183,8 @@ def _accum_group_step_xy(curve, plan: MsmPlan, rg: int, ax, ay, az, ae,
     one_m = tuple(int(x) for x in spec.one_mont_limbs)
     tile = LANE_TILE if lanes % LANE_TILE == 0 else lanes
     ntiles = lanes // tile
-    pxy, v = _gather_xy_rounds(plan, rg, xy, order_y, b_start, b_end, r0, q_valid)
+    idx_g = jax.lax.dynamic_slice_in_dim(idx_enc, r0, rg, axis=0)
+    pxy, v = _gather_rows_pk(plan, xy, idx_g)
     kernel = functools.partial(_accum_group_kernel_xy, mod=mod, n0=n0, one_m=one_m)
     coord_in = pl.BlockSpec((1, k, tile), lambda j, i: (i, 0, j),
                             memory_space=pltpu.VMEM)
@@ -1138,9 +1202,9 @@ def _accum_group_step_xy(curve, plan: MsmPlan, rg: int, ax, ay, az, ae,
     )(ax, ay, az, ae, pxy, v)
 
 
-def _run_groups_xy(curve, gplan: MsmPlan, rg: int, xy, order_y,
-                   b_start, b_end, n_groups: int, q_valid=None):
-    """Host-loop packed-XY grouped accumulation (large N, where the
+def _run_groups_pk(curve, gplan: MsmPlan, rg: int, xy, idx_enc,
+                   n_groups: int):
+    """Host-loop packed grouped accumulation (large N, where the
     single-program fori form faults the TPU worker)."""
     spec = curve.field
     k = spec.n_limbs
@@ -1150,9 +1214,8 @@ def _run_groups_xy(curve, gplan: MsmPlan, rg: int, xy, order_y,
     az = jnp.zeros((k, lanes), jnp.uint32)
     ae = jnp.zeros((8, lanes), jnp.uint32)
     for g in range(n_groups):
-        ax, ay, az, ae = _accum_group_step_xy(
-            curve, gplan, rg, ax, ay, az, ae, xy, order_y, b_start, b_end,
-            q_valid, jnp.int32(g * rg))
+        ax, ay, az, ae = _accum_group_step_pk(
+            curve, gplan, rg, ax, ay, az, ae, xy, idx_enc, jnp.int32(g * rg))
     return ax, ay, az, ae
 
 
@@ -1421,9 +1484,16 @@ def msm_tpu(
         nb_ = plan.n_bits if plan else n_bits
         c_ = plan.c if plan else c
         geo = MsmPlan(nb_, c_, n, RG_ROUNDS)
+        # a caller-provided plan carries the true occupancy bound of these
+        # scalars: the fori path can materialize its index stream at that
+        # static size and run with zero host syncs
+        cap = 0
+        if plan is not None and plan.rounds > 0:
+            cap = ((plan.rounds + RG_ROUNDS - 1) // RG_ROUNDS) * RG_ROUNDS
         sc_dev = jnp.asarray(scalars_limbs)
         ax, ay, az, ae = _msm_device_planned(
-            curve, geo, RG_ROUNDS, xs, ys, sc_dev, point_valid)
+            curve, geo, RG_ROUNDS, xs, ys, sc_dev, point_valid,
+            rounds_cap=cap)
         if int(jnp.sum(ae[0])) != 0:
             # in-bucket P == Q doubling: re-run through the unified path
             sc_np = np.asarray(scalars_limbs)
@@ -1561,6 +1631,17 @@ class WitnessMsmPlan:
         self.occ = occ
         self.heavy = heavy  # [(value, np indices)] repeated-value terms
         self.scalars_np = scalars_np  # kept for the rare unified fallback
+        self._idx_enc = None  # materialized round stream, built on first use
+
+    def idx_enc(self, rg: int):
+        """Round-major index stream, materialized once and shared by every
+        query MSM over these scalars (a/b1/b2)."""
+        if self._idx_enc is None:
+            n_groups = (int(self.occ) + rg - 1) // rg
+            self._idx_enc = _materialize_stream_j(
+                self.geo, n_groups * rg, self.order_y, self.b_start,
+                self.b_end)
+        return self._idx_enc
 
 
 def plan_witness_msms(scalars_limbs: np.ndarray, scalars_dev,
@@ -1589,22 +1670,36 @@ def plan_witness_msms(scalars_limbs: np.ndarray, scalars_dev,
 
 
 def msm_shared(curve, query, wplan: WitnessMsmPlan, host_add, host_mul,
-               use_tree: bool = False):
+               use_tree: bool = False, prefix_pad: int = 0):
     """One query-table MSM against a shared witness plan. Returns a host
     affine point (None = infinity) — same contract as
-    msm_tpu_heavy_split."""
+    msm_tpu_heavy_split.
+
+    `prefix_pad` aligns a query table that only covers a SUFFIX of the
+    witness (the C-query skips the n_public+1 public wires) with the
+    full-witness plan: the table is front-padded with invalid rows, so
+    the public wires' scalars meet zero points and the whole MSM shares
+    the one plan + materialized stream instead of re-sorting."""
     if jax.default_backend() == "cpu" and not use_tree:
         # the Pallas accumulation core is TPU-only; CPU (tests) takes the
         # unified per-query path
+        scal = wplan.scalars_np[prefix_pad:] if prefix_pad else wplan.scalars_np
         return msm_tpu_heavy_split(
-            curve, query, wplan.scalars_np, host_add, host_mul,
+            curve, query, scal, host_add, host_mul,
             c=wplan.geo.c, use_tree=use_tree)
     pv = np.asarray(query.valid)
     q_xs = jax.tree.map(jnp.asarray, query.xs)
     q_ys = jax.tree.map(jnp.asarray, query.ys)
+    if prefix_pad:
+        pv = np.concatenate([np.zeros(prefix_pad, dtype=pv.dtype), pv])
+        zpad = lambda a: jnp.concatenate(  # noqa: E731
+            [jnp.zeros((prefix_pad,) + a.shape[1:], a.dtype), a], axis=0)
+        q_xs = jax.tree.map(zpad, q_xs)
+        q_ys = jax.tree.map(zpad, q_ys)
     extra = None
     for val, sel in wplan.heavy:
-        sel_v = sel[pv[sel]]
+        sel_v = sel[pv[sel]]  # heavy indices are full-witness positions;
+        # with prefix_pad the padded table is aligned to the same space
         ssum = _tree_sum_subset(curve, q_xs, q_ys, sel_v)
         if ssum is not None:
             contrib = host_mul(ssum, val) if val != 1 else ssum
@@ -1617,7 +1712,8 @@ def msm_shared(curve, query, wplan: WitnessMsmPlan, host_add, host_mul,
     else:
         ax, ay, az, ae = _msm_accum_shared(
             curve, wplan.geo, RG_ROUNDS, q_xs, q_ys,
-            wplan.order_y, wplan.b_start, wplan.b_end, wplan.occ, qv)
+            wplan.order_y, wplan.b_start, wplan.b_end, wplan.occ, qv,
+            idx_enc=wplan.idx_enc(RG_ROUNDS) if _use_xy() else None)
         if int(jnp.sum(ae[0])) != 0:
             # in-bucket doubling (distinct-point tables never hit this):
             # re-run the whole query through the unified host-planned path

@@ -176,10 +176,18 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
             BN254_G2, pk.b2_query, w_limbs, bn254.g2_add, bn254.g2_mul,
             use_tree=True, scalars_dev=w_dev)
     _vlog("c-query MSM")
-    c_acc = M2.msm_tpu_heavy_split(
-        BN254_G1, pk.c_query, w_limbs[pk.n_public + 1 :],
-        bn254.g1_add, bn254.g1_mul,
-        scalars_dev=w_dev[pk.n_public + 1 :])
+    if jax.default_backend() != "cpu":
+        # the C-query covers the private-wire suffix: front-pad it with
+        # invalid rows so it rides the SAME shared plan + index stream as
+        # a/b1/b2 instead of paying its own digit recode + sort
+        c_acc = M2.msm_shared(BN254_G1, pk.c_query, wplan,
+                              bn254.g1_add, bn254.g1_mul,
+                              prefix_pad=pk.n_public + 1)
+    else:
+        c_acc = M2.msm_tpu_heavy_split(
+            BN254_G1, pk.c_query, w_limbs[pk.n_public + 1 :],
+            bn254.g1_add, bn254.g1_mul,
+            scalars_dev=w_dev[pk.n_public + 1 :])
     _vlog("h-query MSM")
     h_xs = jnp.asarray(pk.h_query.xs)
     h_ys = jnp.asarray(pk.h_query.ys)
