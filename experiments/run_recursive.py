@@ -10,7 +10,10 @@ in-snark + Pedersen commitment. Reference spent 3h15m zkey + 1m prove at
 19.9M constraints for layer 2 (benchmarks.txt:42-46).
 
 Writes stage timings + constraint counts to RECURSIVE_RUN.json next to the
-build dir. Usage: python experiments/run_recursive.py [build_root]
+build dir. Usage: python experiments/run_recursive.py [build_root] [n_sigs]
+— n_sigs > 1 at batch size 1 makes layer-3 verify MULTIPLE layer-2 proofs
+in-snark (the reference's flagship 4_sigs_2_batches shape,
+circuits/layer_three.circom verifyProof loop).
 """
 
 import json
@@ -22,6 +25,7 @@ import time
 os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.97")
 os.environ.setdefault("ZKPOA_VERBOSE", "1")  # stage-level setup/prove logs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/zkpoa_jax"))
+os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
@@ -35,10 +39,11 @@ from zkpoa_tpu.pipeline.workflow import run_workflow  # noqa: E402
 
 def main():
     build_root = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "build", "recursive_run")
+    n_sigs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     os.makedirs(build_root, exist_ok=True)
     sigs = os.path.join(build_root, "sigs.json")
     anon = os.path.join(build_root, "anon.csv")
-    fixtures.write_fixtures(1, sigs, anon, extra=12)
+    fixtures.write_fixtures(n_sigs, sigs, anon, extra=13 - n_sigs)
 
     t0 = time.time()
     res = run_workflow(
@@ -56,7 +61,7 @@ def main():
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     out = {
         "mode": "recursive",
-        "config": "1_sigs_1_batches_5_height",
+        "config": f"{n_sigs}_sigs_{n_sigs}_batches_5_height",
         "wall_s": round(wall, 1),
         "peak_rss_gb": round(rss_gb, 2),
         "build_dir": res.build_dir,

@@ -44,10 +44,12 @@ extern "C" {
 // valid: uint8 [n] or nullptr. order_y: int32 [nw, n] (pre-zeroed by the
 // caller). b_start/b_end: int32 [nw, nb].
 // top_stride_in: the caller's power-of-two top-window alias stride (must
-// match MsmPlan.top_stride — tighter than 2^rem when scalars are known
-// field elements); <= 0 selects the legacy 2^rem.
+// match MsmPlan.top_stride); <= 0 selects the legacy 2^rem.
+// top_block: > 0 selects the balanced-block top-window layout instead
+// (digit d -> slots [(d-1)*top_block, d*top_block), alias = i % top_block
+// — must match MsmPlan.top_block); top_stride_in is then ignored.
 int64_t zkpoa_msm_plan2(const uint32_t* scalars, int64_t n, int n_limbs,
-                        int n_bits, int c, int top_stride_in,
+                        int n_bits, int c, int top_stride_in, int top_block,
                         const uint8_t* valid, int32_t* order_y,
                         int32_t* b_start, int32_t* b_end) {
   if (c < 2 || c > 14 || n <= 0) return -1;
@@ -57,9 +59,11 @@ int64_t zkpoa_msm_plan2(const uint32_t* scalars, int64_t n, int n_limbs,
   const int nb = 1 << (c - 1);
   const int rem = n_bits - c * (nw - 1);
   const int top_stride = top_stride_in > 0 ? top_stride_in : (1 << rem);
-  if (top_stride > (1 << rem) || (top_stride & (top_stride - 1)) != 0)
+  if (top_block <= 0 &&
+      (top_stride > (1 << rem) || (top_stride & (top_stride - 1)) != 0))
     return -1;
-  const int64_t spread = nb / top_stride > 0 ? nb / top_stride : 1;
+  const int64_t spread = top_block > 0 ? 1
+      : (nb / top_stride > 0 ? nb / top_stride : 1);
   const uint32_t half = 1u << (c - 1);
   const uint32_t full = 1u << c;
 
@@ -85,7 +89,10 @@ int64_t zkpoa_msm_plan2(const uint32_t* scalars, int64_t n, int n_limbs,
         if (neg) mask |= 1ull << w;
         if (ok && d > 0) {
           int64_t key = d - 1;
-          if (w == nw - 1 && spread > 1) key += top_stride * (i % spread);
+          if (w == nw - 1) {
+            if (top_block > 0) key = key * top_block + (i % top_block);
+            else if (spread > 1) key += top_stride * (i % spread);
+          }
           ++lh[static_cast<size_t>(w) * (nb + 1) + key];
         }
       }
@@ -127,7 +134,10 @@ int64_t zkpoa_msm_plan2(const uint32_t* scalars, int64_t n, int n_limbs,
       const uint32_t d = neg ? full - e : e;
       if (d == 0) continue;
       int64_t key = d - 1;
-      if (w == nw - 1 && spread > 1) key += top_stride * (i % spread);
+      if (w == nw - 1) {
+        if (top_block > 0) key = key * top_block + (i % top_block);
+        else if (spread > 1) key += top_stride * (i % spread);
+      }
       const int64_t pos = cur[key]++;
       out[pos] = static_cast<int32_t>(i + ((neg && d > 0) ? n : 0));
     }
@@ -139,8 +149,8 @@ int64_t zkpoa_msm_plan2(const uint32_t* scalars, int64_t n, int n_limbs,
 int64_t zkpoa_msm_plan(const uint32_t* scalars, int64_t n, int n_limbs,
                        int n_bits, int c, const uint8_t* valid,
                        int32_t* order_y, int32_t* b_start, int32_t* b_end) {
-  return zkpoa_msm_plan2(scalars, n, n_limbs, n_bits, c, 0, valid, order_y,
-                         b_start, b_end);
+  return zkpoa_msm_plan2(scalars, n, n_limbs, n_bits, c, 0, 0, valid,
+                         order_y, b_start, b_end);
 }
 
 }  // extern "C"

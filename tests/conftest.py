@@ -12,6 +12,7 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compile cache: the unrolled limb kernels are compile-heavy.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zkpoa_jax_cache")
+os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 xla_flags = os.environ.get("XLA_FLAGS", "")

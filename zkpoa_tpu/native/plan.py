@@ -46,7 +46,8 @@ def _load():
     lib = ctypes.CDLL(path)
     lib.zkpoa_msm_plan2.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
     ]
@@ -56,8 +57,9 @@ def _load():
 
 def available(n_bits: int = 254, c: int = 11) -> bool:
     """Planner usable for this geometry (nw <= 64 — the carry bitmask
-    width; smaller windows fall back to the numpy mirror)."""
-    if (n_bits + c - 1) // c > 64:
+    width — and 2 <= c <= 14, the library's window range; other shapes
+    fall back to the numpy mirror)."""
+    if (n_bits + c - 1) // c > 64 or not 2 <= c <= 14:
         return False
     return _load() is not None
 
@@ -68,6 +70,7 @@ def plan_stream(
     c: int,
     point_valid: Optional[np.ndarray] = None,
     top_stride: int = 0,
+    top_block: int = 0,
 ) -> Tuple[int, np.ndarray, np.ndarray, np.ndarray]:
     """(raw_rounds, order_y [nw, N] int32, b_start, b_end [nw, nb] int32)
     — bit-identical to msm_pallas.plan_msm + _stream_indices_host.
@@ -89,7 +92,7 @@ def plan_stream(
         pv_ptr = pv.ctypes.data_as(ctypes.c_void_p)
     occ = lib.zkpoa_msm_plan2(
         sc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        n, n_limbs, n_bits, c, top_stride, pv_ptr,
+        n, n_limbs, n_bits, c, top_stride, top_block, pv_ptr,
         order_y.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         b_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         b_end.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -86,18 +86,33 @@ class MsmPlan:
         self.nw = (n_bits + c - 1) // c
         rem = n_bits - c * (self.nw - 1)
         self.range_top = (1 << rem) + 1  # top |digit| in [0, 2^rem]
-        # nonzero top digits d have (d-1) in [0, 2^rem) — 2^rem slots, a
-        # power of two: aliases tile the full bucket range at this stride.
-        # NOTE (measured, r4): for BN254 scalars the top window only
-        # populates (r >> (c*(nw-1))) + 1 of its 2^rem digit values (e.g.
-        # 97 of 128 at c=13), so its per-slot occupancy runs ~2^rem/(that)
-        # above the body windows and sets the global round bound (439 vs
-        # body ~330 at N=2^20/c=13). A balanced fix needs non-power-of-two
-        # alias blocks (and a block-fold in the reduce); until then prefer
-        # window widths whose top window divides evenly (c=12 at 254 bits
-        # fills all 4 top digit values).
-        self.top_stride = 1 << rem
-        self.spread = max(self.nb // self.top_stride, 1)
+        # Top-window load balancing. For BN254 scalars only
+        # top_count = (r >> (c*(nw-1))) + 1 digit values can occur (e.g.
+        # 97 of 2^rem=128 at c=13) — under the power-of-two alias tiling
+        # the populated slots then carry ~2^rem/top_count more load than
+        # the body windows and SET the global round bound (measured 439
+        # vs body ~330 at N=2^20/c=13). When top_count < 2^rem, digit d
+        # instead gets the contiguous alias BLOCK
+        # [(d-1)*top_block, d*top_block), top_block = nb // top_count:
+        # every digit's per-slot load drops to ~N/(top_count*top_block)
+        # ~= the body mean. The reduce folds each block to its head with
+        # masked ascending-shift roll-adds, then compacts heads to slots
+        # [0, top_count) so the weighted suffix scan sees weight slot+1
+        # as usual. With top_count == 2^rem (non-254-bit plans, c=11/12)
+        # the classic power-of-two stride tiling is used unchanged.
+        top_count = 1 << rem
+        if n_bits == 254:
+            top_count = min(top_count, (_BN254_R >> (c * (self.nw - 1))) + 1)
+        if top_count < (1 << rem) and (self.nb // top_count) >= 2:
+            self.top_count = int(top_count)
+            self.top_block = self.nb // self.top_count
+            self.top_stride = 0  # unused on the block path
+            self.spread = 1
+        else:
+            self.top_count = 1 << rem
+            self.top_block = 0
+            self.top_stride = 1 << rem
+            self.spread = max(self.nb // self.top_stride, 1)
         self.rounds = rounds
         self.lanes = self.nw * self.nb
 
@@ -135,10 +150,14 @@ def _digits_signed_np(scalars_limbs: np.ndarray, plan: MsmPlan):
         signs[w] = neg & (d > 0)
         slots[w] = d  # 0 = skip; else bucket slot d-1
         carry = neg.astype(np.int64)
-    # top-window spread
-    if plan.spread > 1:
+    # top-window alias layout (see MsmPlan): balanced blocks or pow2 stride
+    w = nw - 1
+    if plan.top_block:
+        chunk = np.arange(n, dtype=np.int64) % plan.top_block
+        slots[w] = np.where(
+            slots[w] > 0, (slots[w] - 1) * plan.top_block + chunk + 1, 0)
+    elif plan.spread > 1:
         chunk = np.arange(n, dtype=np.int64) % plan.spread
-        w = nw - 1
         slots[w] = np.where(slots[w] > 0, slots[w] + plan.top_stride * chunk, 0)
     return slots, signs
 
@@ -199,9 +218,13 @@ def _digits_signed_jnp(scalars: jnp.ndarray, plan: MsmPlan):
         return neg.astype(jnp.int32), (d, neg & (d > 0))
 
     _, (slots, signs) = jax.lax.scan(step, jnp.zeros((n,), jnp.int32), words)
-    if plan.spread > 1:
+    top = slots[nw - 1]
+    if plan.top_block:
+        chunk = jnp.arange(n, dtype=jnp.int32) % plan.top_block
+        slots = slots.at[nw - 1].set(
+            jnp.where(top > 0, (top - 1) * plan.top_block + chunk + 1, 0))
+    elif plan.spread > 1:
         chunk = (jnp.arange(n, dtype=jnp.int32) % plan.spread) * plan.top_stride
-        top = slots[nw - 1]
         slots = slots.at[nw - 1].set(jnp.where(top > 0, top + chunk, 0))
     return slots, signs
 
@@ -408,6 +431,30 @@ def _weighted_reduce(curve, buckets, plan: MsmPlan):
     nw, nb, c = plan.nw, plan.nb, plan.c
     bpos = jnp.arange(nb, dtype=jnp.int32)[None, :]
 
+    if plan.top_block:
+        # balanced-block top window: fold each digit's alias block to its
+        # head with ascending masked roll-adds ((pos mod B) + sh < B keeps
+        # the fold inside the block), then compact heads (d-1)*B to slots
+        # [0, top_count) so the weighted suffix scan sees weight slot+1
+        b_blk = plan.top_block
+        top = _tmap(lambda a: a[nw - 1 : nw], buckets)
+        posmod = bpos % jnp.int32(b_blk)
+        sh = 1
+        while sh < b_blk:
+            keep = posmod + sh < b_blk
+            top = _masked_roll_add(curve, top, jnp.int32(sh), keep)
+            sh <<= 1
+        heads = jnp.arange(nb, dtype=jnp.int32) * b_blk  # clamped gather
+        heads = jnp.minimum(heads, nb - 1)
+        in_range = jnp.arange(nb, dtype=jnp.int32) < plan.top_count
+        top = _tmap(
+            lambda a: jnp.where(in_range[None, :, None] if a.ndim == 3
+                                else in_range[None, :],
+                                a[:, heads], jnp.zeros_like(a)), top)
+        buckets = _tmap(
+            lambda a, t: jnp.concatenate([a[: nw - 1], t], axis=0), buckets, top
+        )
+
     # fold the top window's spread aliases back onto slots [0, top_stride):
     # log2(spread) masked-roll halvings on the fixed [1, nb] shape.
     if plan.spread > 1:
@@ -481,11 +528,21 @@ def _horner_windows(curve, totals, plan: MsmPlan):
 
 def _reduce_step_table(plan: MsmPlan) -> np.ndarray:
     """Per-step [S, 4] int32 rows: (lane shift, keep-limit for the TOP
-    window, keep-limit for body windows, is_clear). Fold steps no-op on
-    body windows via a 0 keep-limit (all-infinity addend)."""
+    window, keep-limit for body windows, mode). mode 0 = masked roll-add
+    with keep = pos < limit; 1 = clear z above the top limit; 2 = block
+    fold (keep = (pos mod top_block) + shift < top_block, top window
+    only); 3 = compact block heads to slots [0, top_count) (top window
+    only, static indices in the kernel). Steps that must no-op on body
+    windows use a 0 keep-limit (all-infinity addend)."""
     nb, c = plan.nb, plan.c
     rows = []
-    if plan.spread > 1:
+    if plan.top_block:
+        sh = 1
+        while sh < plan.top_block:
+            rows.append((sh, 0, 0, 2))  # block fold: top window only
+            sh <<= 1
+        rows.append((0, 0, 0, 3))  # compact heads
+    elif plan.spread > 1:
         s = plan.spread
         while s > 1:
             s //= 2
@@ -501,7 +558,7 @@ def _reduce_step_table(plan: MsmPlan) -> np.ndarray:
 
 def _reduce_scan_kernel(tbl_ref, ax_ref, ay_ref, az_ref,
                         ox_ref, oy_ref, oz_ref, xs_s, ys_s, zs_s,
-                        *, mod, n0, nw):
+                        *, mod, n0, nw, top_block, top_count):
     w = pl.program_id(0)
     s = pl.program_id(1)
     n_steps = pl.num_programs(1)
@@ -515,16 +572,39 @@ def _reduce_scan_kernel(tbl_ref, ax_ref, ay_ref, az_ref,
         zs_s[...] = az_ref[...]
 
     shift = tbl_ref[s, 0]
-    lim = jnp.where(w == nw - 1, tbl_ref[s, 1], tbl_ref[s, 2])
-    is_clear = tbl_ref[s, 3]
+    mode = tbl_ref[s, 3]
     pos = jax.lax.broadcasted_iota(jnp.int32, (k, nb), 1)
+    lim = jnp.where(w == nw - 1, tbl_ref[s, 1], tbl_ref[s, 2])
     keep = pos < lim
+    if top_block:
+        # block fold masks: stay inside each digit's alias block; body
+        # windows (and non-fold steps) keep the pos < lim mask
+        posmod = pos % jnp.int32(top_block)
+        keep_blk = jnp.logical_and(posmod + shift < top_block, w == nw - 1)
+        is_blk = mode == 2  # Mosaic cannot select between i1 vectors:
+        keep = jnp.logical_or(jnp.logical_and(is_blk, keep_blk),
+                              jnp.logical_and(jnp.logical_not(is_blk), keep))
+
+        @pl.when(jnp.logical_and(mode == 3, w == nw - 1))
+        def _compact():
+            # heads (d-1)*top_block -> slots [0, top_count); rest -> inf
+            def comp(st_ref):
+                cols = [st_ref[:, j * top_block] for j in range(top_count)]
+                stacked = jnp.stack(cols, axis=1)  # [K, top_count]
+                st_ref[...] = jnp.zeros((k, nb), jnp.uint32)
+                st_ref[:, :top_count] = stacked
+
+            comp(xs_s)
+            comp(ys_s)
+            comp(zs_s)
+
+    is_clear = jnp.where(mode == 1, 1, 0)
 
     @pl.when(is_clear != 0)
     def _clear():
         zs_s[...] = jnp.where(keep, zs_s[...], jnp.uint32(0))
 
-    @pl.when(is_clear == 0)
+    @pl.when(jnp.logical_and(is_clear == 0, mode != 3))
     def _fold_add():
         amt = (nb - shift) % nb  # pltpu.roll shifts right; we roll left
         rx = pltpu.roll(xs_s[...], amt, 1)
@@ -567,7 +647,9 @@ def _weighted_reduce_pallas(curve, plan: MsmPlan, ox, oy, oz):
     tbl = jnp.asarray(_reduce_step_table(plan))
     n_steps = int(tbl.shape[0])
     kernel = functools.partial(_reduce_scan_kernel, mod=mod,
-                               n0=int(spec.n0inv), nw=nw)
+                               n0=int(spec.n0inv), nw=nw,
+                               top_block=plan.top_block,
+                               top_count=plan.top_count)
     ow = min(nb, 128)
     win_in = pl.BlockSpec((k, nb), lambda w, s: (0, w), memory_space=pltpu.VMEM)
     tot_out = pl.BlockSpec((1, k, ow), lambda w, s: (w, 0, 0),
@@ -606,11 +688,12 @@ def plan_and_stream(
     nb_ = n_bits if plan is None else plan.n_bits
     c_ = c if plan is None else plan.c
     # geometry probe: the native planner must lay buckets out with the
-    # same top-window alias stride the kernels/reduce expect
-    stride = MsmPlan(nb_, c_, sc.shape[0], ROUND_GRANULE).top_stride
+    # same top-window alias scheme the kernels/reduce expect
+    probe = MsmPlan(nb_, c_, sc.shape[0], ROUND_GRANULE)
     if nplan.available(nb_, c_):
         occ, oy, bs, be = nplan.plan_stream(sc, nb_, c_, point_valid_np,
-                                            top_stride=stride)
+                                            top_stride=probe.top_stride,
+                                            top_block=probe.top_block)
         if plan is None:
             rounds = ((occ + ROUND_GRANULE - 1) // ROUND_GRANULE) * ROUND_GRANULE
             plan = MsmPlan(n_bits, c, sc.shape[0], rounds)

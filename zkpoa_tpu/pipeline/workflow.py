@@ -35,6 +35,7 @@ import time
 # persistent XLA compile cache: the fused limb kernels are compile-heavy;
 # repeat workflow runs (and the zkey-cache path) reuse cached executables
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/zkpoa_jax"))
+os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 from dataclasses import dataclass, field
