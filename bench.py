@@ -60,8 +60,10 @@ GEN_CHUNK = 1 << 18  # fixed-base generation chunk (compile reuse)
 
 
 def main():
-    log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 17
-    c = int(sys.argv[2]) if len(sys.argv) > 2 else 11
+    # default config = measured best (r4 sweep: 2^17/c11 0.57, 2^20/c12
+    # 0.98, 2^20/c13+block 0.99, 2^21/c13 0.55 Mpoints/s)
+    log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    c = int(sys.argv[2]) if len(sys.argv) > 2 else 13
     n = 1 << log_n
     rng = np.random.default_rng(0)
 

@@ -527,38 +527,57 @@ def _horner_windows(curve, totals, plan: MsmPlan):
 
 
 def _reduce_step_table(plan: MsmPlan) -> np.ndarray:
-    """Per-step [S, 4] int32 rows: (lane shift, keep-limit for the TOP
-    window, keep-limit for body windows, mode). mode 0 = masked roll-add
-    with keep = pos < limit; 1 = clear z above the top limit; 2 = block
-    fold (keep = (pos mod top_block) + shift < top_block, top window
-    only); 3 = compact block heads to slots [0, top_count) (top window
-    only, static indices in the kernel). Steps that must no-op on body
-    windows use a 0 keep-limit (all-infinity addend)."""
+    """Per-step [S, 6] int32 rows: (body shift, body keep-limit, body mode,
+    top shift, top keep-limit, top mode). Modes: 0 = masked roll-add with
+    keep = pos < limit; 1 = clear z where NOT (pos < limit); 2 = block
+    fold (keep = (pos mod top_block) + shift < top_block); 4 = clear z
+    where NOT ((pos mod top_block) == 0 AND pos < limit); 5 = no-op.
+
+    Body windows run the classic double suffix scan (weights slot+1). A
+    balanced-block top window (plan.top_block) instead: block-folds each
+    digit's aliases to its head at (d-1)*top_block, clears non-heads,
+    then runs the double suffix scan AT STRIDE top_block — the second
+    scan leaves sum_d d*S_d at position 0, exactly the top window's
+    total, with no in-kernel compaction (only rolls/selects/adds)."""
     nb, c = plan.nb, plan.c
-    rows = []
+    body = []
+    for _ in range(2):
+        for st in range(c - 1):
+            sh = 1 << st
+            body.append((sh, nb - sh, 0))
+    top = []
     if plan.top_block:
+        b_blk, tc = plan.top_block, plan.top_count
         sh = 1
-        while sh < plan.top_block:
-            rows.append((sh, 0, 0, 2))  # block fold: top window only
+        while sh < b_blk:
+            top.append((sh, 0, 2))
             sh <<= 1
-        rows.append((0, 0, 0, 3))  # compact heads
+        top.append((0, tc * b_blk, 4))  # clear non-heads
+        span = tc * b_blk
+        steps = max((tc - 1).bit_length(), 1)
+        for _ in range(2):
+            for st in range(steps):
+                sh = (1 << st) * b_blk
+                top.append((sh, span - sh if span > sh else 0, 0))
     elif plan.spread > 1:
         s = plan.spread
         while s > 1:
             s //= 2
-            sh = s * plan.top_stride
-            rows.append((sh, sh, 0, 0))  # fold: top window only
-        rows.append((0, plan.top_stride, nb, 1))  # clear stale top slots
-    for _ in range(2):  # suffix scan, twice
-        for st in range(c - 1):
-            sh = 1 << st
-            rows.append((sh, nb - sh, nb - sh, 0))
+            top.append((s * plan.top_stride, s * plan.top_stride, 0))
+        top.append((0, plan.top_stride, 1))
+        top.extend(body)
+    else:
+        top = list(body)
+    n_steps = max(len(body), len(top))
+    body += [(0, 0, 5)] * (n_steps - len(body))
+    top += [(0, 0, 5)] * (n_steps - len(top))
+    rows = [bo + to for bo, to in zip(body, top)]
     return np.asarray(rows, dtype=np.int32)
 
 
 def _reduce_scan_kernel(tbl_ref, ax_ref, ay_ref, az_ref,
                         ox_ref, oy_ref, oz_ref, xs_s, ys_s, zs_s,
-                        *, mod, n0, nw, top_block, top_count):
+                        *, mod, n0, nw, top_block):
     w = pl.program_id(0)
     s = pl.program_id(1)
     n_steps = pl.num_programs(1)
@@ -571,40 +590,29 @@ def _reduce_scan_kernel(tbl_ref, ax_ref, ay_ref, az_ref,
         ys_s[...] = ay_ref[...]
         zs_s[...] = az_ref[...]
 
-    shift = tbl_ref[s, 0]
-    mode = tbl_ref[s, 3]
+    is_top = w == nw - 1
+    shift = jnp.where(is_top, tbl_ref[s, 3], tbl_ref[s, 0])
+    lim = jnp.where(is_top, tbl_ref[s, 4], tbl_ref[s, 1])
+    mode = jnp.where(is_top, tbl_ref[s, 5], tbl_ref[s, 2])
     pos = jax.lax.broadcasted_iota(jnp.int32, (k, nb), 1)
-    lim = jnp.where(w == nw - 1, tbl_ref[s, 1], tbl_ref[s, 2])
     keep = pos < lim
     if top_block:
-        # block fold masks: stay inside each digit's alias block; body
-        # windows (and non-fold steps) keep the pos < lim mask
         posmod = pos % jnp.int32(top_block)
-        keep_blk = jnp.logical_and(posmod + shift < top_block, w == nw - 1)
-        is_blk = mode == 2  # Mosaic cannot select between i1 vectors:
-        keep = jnp.logical_or(jnp.logical_and(is_blk, keep_blk),
+        blk_keep = posmod + shift < top_block
+        is_blk = mode == 2  # Mosaic cannot select between i1 vectors
+        keep = jnp.logical_or(jnp.logical_and(is_blk, blk_keep),
                               jnp.logical_and(jnp.logical_not(is_blk), keep))
+        head_keep = jnp.logical_and(posmod == 0, pos < lim)
 
-        @pl.when(jnp.logical_and(mode == 3, w == nw - 1))
-        def _compact():
-            # heads (d-1)*top_block -> slots [0, top_count); rest -> inf
-            def comp(st_ref):
-                cols = [st_ref[:, j * top_block] for j in range(top_count)]
-                stacked = jnp.stack(cols, axis=1)  # [K, top_count]
-                st_ref[...] = jnp.zeros((k, nb), jnp.uint32)
-                st_ref[:, :top_count] = stacked
+        @pl.when(mode == 4)
+        def _clear_non_heads():
+            zs_s[...] = jnp.where(head_keep, zs_s[...], jnp.uint32(0))
 
-            comp(xs_s)
-            comp(ys_s)
-            comp(zs_s)
-
-    is_clear = jnp.where(mode == 1, 1, 0)
-
-    @pl.when(is_clear != 0)
+    @pl.when(mode == 1)
     def _clear():
         zs_s[...] = jnp.where(keep, zs_s[...], jnp.uint32(0))
 
-    @pl.when(jnp.logical_and(is_clear == 0, mode != 3))
+    @pl.when(jnp.logical_and(mode != 1, jnp.logical_and(mode != 4, mode != 5)))
     def _fold_add():
         amt = (nb - shift) % nb  # pltpu.roll shifts right; we roll left
         rx = pltpu.roll(xs_s[...], amt, 1)
@@ -648,8 +656,7 @@ def _weighted_reduce_pallas(curve, plan: MsmPlan, ox, oy, oz):
     n_steps = int(tbl.shape[0])
     kernel = functools.partial(_reduce_scan_kernel, mod=mod,
                                n0=int(spec.n0inv), nw=nw,
-                               top_block=plan.top_block,
-                               top_count=plan.top_count)
+                               top_block=plan.top_block)
     ow = min(nb, 128)
     win_in = pl.BlockSpec((k, nb), lambda w, s: (0, w), memory_space=pltpu.VMEM)
     tot_out = pl.BlockSpec((1, k, ow), lambda w, s: (w, 0, 0),
