@@ -1805,10 +1805,14 @@ def msm_shared(curve, query, wplan: WitnessMsmPlan, host_add, host_mul,
             wplan.order_y, wplan.b_start, wplan.b_end, wplan.occ, qv,
             idx_enc=wplan.idx_enc(RG_ROUNDS) if _use_xy() else None)
         if int(jnp.sum(ae[0])) != 0:
-            # in-bucket doubling (distinct-point tables never hit this):
-            # re-run the whole query through the unified host-planned path
+            # in-bucket doubling (possible when distinct wires share an
+            # identical query point AND an identical witness value below
+            # the heavy threshold): re-run the whole query through the
+            # unified host-planned path, aligned to the query's own span
+            scal = (wplan.scalars_np[prefix_pad:] if prefix_pad
+                    else wplan.scalars_np)
             return msm_tpu_heavy_split(
-                curve, query, wplan.scalars_np, host_add, host_mul,
+                curve, query, scal, host_add, host_mul,
                 c=wplan.geo.c, use_tree=use_tree)
         res = _msm_reduce_stage(curve, wplan.geo, ax, ay, az)
     out = curve.decode_jac(_tmap(lambda a: a[None], res))[0]

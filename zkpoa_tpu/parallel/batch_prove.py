@@ -53,7 +53,7 @@ def msm_batch_parallel(
         mesh=mesh,
         in_specs=(P(axis),),
         out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )(scalars_nb)
 
 

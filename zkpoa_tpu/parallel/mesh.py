@@ -65,7 +65,7 @@ def msm_sharded(
         mesh=mesh,
         in_specs=(spec_pts, jax.tree.map(lambda _: P(axis), ys), P(axis)),
         out_specs=jax.tree.map(lambda _: P(axis), xs),
-        check_rep=False,
+        check_vma=False,
     )(xs, ys, scalars)
     # partials leaves: [ndev, ...]; tree-reduce (log2 ndev unified adds)
     m = ndev
@@ -167,7 +167,7 @@ def msm_batch_sharded(
         in_specs=(spec_pts, jax.tree.map(lambda _: P(data_axis), ys),
                   P(batch_axis, data_axis)),
         out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )(xs, ys, scalars_nb)
 
 

@@ -183,7 +183,7 @@ def quotient_dist(a_ev, b_ev, c_ev, mesh: Mesh, axis: str = "data"):
         # the output natural coefficient matrix is COLUMN-sharded [A, B/D, K]
         in_specs=(P(axis, None), P(axis, None), P(axis, None)),
         out_specs=P(None, axis),
-        check_rep=False,
+        check_vma=False,
     )
     h_mat = fn(to_L1(a_ev), to_L1(b_ev), to_L1(c_ev))  # [A, B, K] natural
     return from_L0(h_mat)
