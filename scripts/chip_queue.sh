@@ -25,9 +25,10 @@ run_exp() { # run_exp <timeout_s> <artifact_path...> -- <cmd...>
 
 {
   echo "=== chip job $PID exited; starting chip queue $(date -u)"
-  run_exp 3000 experiments/MSM_AB.json -- python experiments/msm_ab.py 17 20
+  run_exp 3000 experiments/PROVE_L1.json -- python experiments/prove_l1.py 1
   run_exp 1800 experiments/MERKLE_SCALE.json -- python experiments/merkle_scale.py 20
   run_exp 2400 experiments/PRIMITIVES.json -- python experiments/primitives.py
+  run_exp 2400 experiments/MSM_AB.json -- python experiments/msm_ab.py 17
   echo "=== chip queue done $(date -u)"
   if [ "${#COMMIT_PATHS[@]}" -gt 0 ]; then
     git add -- "${COMMIT_PATHS[@]}" && \
