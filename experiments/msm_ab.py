@@ -88,11 +88,16 @@ def main():
                 res = M2._msm_reduce_stage(BN254_G1, geo, ax, ay, az)
                 got = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], res))[0]
                 warm = time.perf_counter() - t0
-                # an in-bucket P == Q lane is NOT a correctness failure of the
-                # path under test — production detects it via ae and re-runs
-                # the unified jnp fallback; record it as such
-                n_exc = int(jnp.sum(ae))
+                # an in-bucket P == Q lane would not be a correctness
+                # failure (production detects it via ae and re-runs the
+                # unified fallback) — but the flags are OR'd 0/1 per lane,
+                # so any count beyond 8*lanes is uninitialized garbage,
+                # and random distinct points cannot collide at all: both
+                # cases are the kernel being WRONG, not a benign fallback
+                n_exc = int(np.asarray(ae, dtype=np.uint64).sum())
+                max_flags = 8 * geo.lanes
                 ok = got == expected
+                exc_plausible = 0 < n_exc <= max_flags
                 times = []
                 for _ in range(3):
                     t0 = time.perf_counter()
@@ -103,8 +108,25 @@ def main():
                     times.append(time.perf_counter() - t0)
                 per = min(times)
                 mps = n / per / 1e6
-                status = ("fallback" if (not ok and n_exc)
-                          else ("ok" if ok else "WRONG"))
+                if ok:
+                    status = "ok"
+                elif exc_plausible:
+                    # plausible doubling flag: the production contract is
+                    # "fallback re-run returns the right answer" — verify
+                    # that, don't assume it
+                    slow, hp = M2.plan_and_stream(
+                        np.asarray(M2.scalars_to_limbs_fast(scalars)),
+                        254, c, np.asarray(valid))
+                    slow = M2.MsmPlan(slow.n_bits, slow.c, slow.n,
+                                      slow.rounds, use_jnp=True)
+                    fres, _ = M2._msm_fused(
+                        BN254_G1, slow, xs, ys,
+                        jnp.zeros((1, 1), jnp.uint32), valid, hp)
+                    fgot = BN254_G1.decode_jac(
+                        jax.tree.map(lambda a: a[None], fres))[0]
+                    status = "fallback" if fgot == expected else "WRONG"
+                else:
+                    status = "WRONG"
                 log(f"{label}: warm {warm:.1f}s best {per:.3f}s "
                     f"{mps:.2f} Mpoints/s correct={ok} exc_lanes={n_exc}")
                 results.append({"log_n": log_n, "c": c, "xy": xy == "1",

@@ -17,6 +17,7 @@
 //     bucket-sorted order; b_start/b_end [nw][nb] delimit each bucket's
 //     run; unwritten positions stay 0 (safe clamped gathers).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -69,6 +70,11 @@ int64_t zkpoa_msm_plan2(const uint32_t* scalars, int64_t n, int n_limbs,
 
   // neg_mask[i] bit w = 1 when window w recoded negative (its carry-out)
   std::vector<uint64_t> neg_mask(static_cast<size_t>(n));
+  // An unreduced (>= group order) 254-bit scalar can push the top-window
+  // digit past the layout's assumed top_count, driving key past nb and
+  // off the end of the histograms / order_y — reject instead of
+  // corrupting native heap.
+  std::atomic<bool> bad_key{false};
   std::vector<int64_t> hist(static_cast<size_t>(nw) * (nb + 1), 0);
 
   // pass 1: digits + per-window histograms (thread-local, merged)
@@ -93,6 +99,7 @@ int64_t zkpoa_msm_plan2(const uint32_t* scalars, int64_t n, int n_limbs,
             if (top_block > 0) key = key * top_block + (i % top_block);
             else if (spread > 1) key += top_stride * (i % spread);
           }
+          if (key < 0 || key >= nb) { bad_key.store(true); continue; }
           ++lh[static_cast<size_t>(w) * (nb + 1) + key];
         }
       }
@@ -101,6 +108,7 @@ int64_t zkpoa_msm_plan2(const uint32_t* scalars, int64_t n, int n_limbs,
 #pragma omp critical
     for (size_t t = 0; t < hist.size(); ++t) hist[t] += lh[t];
   }
+  if (bad_key.load()) return -1;
 
   // prefix sums -> bucket runs; raw round bound = max occupancy
   int64_t occ = 1;
@@ -138,6 +146,7 @@ int64_t zkpoa_msm_plan2(const uint32_t* scalars, int64_t n, int n_limbs,
         if (top_block > 0) key = key * top_block + (i % top_block);
         else if (spread > 1) key += top_stride * (i % spread);
       }
+      if (key < 0 || key >= nb) continue;  // pass 1 already returned -1
       const int64_t pos = cur[key]++;
       out[pos] = static_cast<int32_t>(i + ((neg && d > 0) ? n : 0));
     }

@@ -776,11 +776,23 @@ RG_ROUNDS = 64  # rounds per gather/accumulate group (host-planned path):
 # compile helper at N ~ 1.6M (5GB stream buffers in one XLA module)
 
 
-def _accum_group_kernel(ax, ay, az, ae, px_ref, py_ref, v_ref,
+def _accum_group_kernel(ax_ref, ay_ref, az_ref, ae_ref, px_ref, py_ref, v_ref,
                         ox_ref, oy_ref, oz_ref, oe_ref, *, mod, n0, one_m):
     """Like _accum_kernel_body but the accumulator arrives via aliased
-    input buffers (carried across round groups) — no r == 0 init."""
+    input buffers (carried across round groups). Aliasing shares the HBM
+    buffers only — the output VMEM blocks start UNINITIALIZED, so the
+    carried state must still be seeded from the input refs at the first
+    grid round (MSM_AB.json's exc_lanes ~4e9 on hardware was this kernel
+    reading garbage before the round-5 seed)."""
     r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _seed():
+        ox_ref[...] = ax_ref[...]
+        oy_ref[...] = ay_ref[...]
+        oz_ref[...] = az_ref[...]
+        oe_ref[...] = ae_ref[...]
+
     k = ox_ref.shape[0]
     x1 = [ox_ref[j] for j in range(k)]
     y1 = [oy_ref[j] for j in range(k)]
@@ -1191,10 +1203,21 @@ def _accum_scan_kernel_xy(ax_ref, ay_ref, az_ref, ae_ref, pxy_ref, v_ref,
                     mod, n0, one_m)
 
 
-def _accum_group_kernel_xy(ax, ay, az, ae, pxy_ref, v_ref,
+def _accum_group_kernel_xy(ax_ref, ay_ref, az_ref, ae_ref, pxy_ref, v_ref,
                            ox_ref, oy_ref, oz_ref, oe_ref, *, mod, n0, one_m):
-    """Aliased-buffer packed-XY kernel (host-dispatched group loop)."""
+    """Aliased-buffer packed-XY kernel (host-dispatched group loop).
+    Aliasing shares HBM buffers; the output VMEM blocks are NOT
+    prefetched, so the carried accumulator must be seeded from the input
+    refs at round 0 exactly as _accum_scan_kernel_xy does."""
     r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _seed():
+        ox_ref[...] = ax_ref[...]
+        oy_ref[...] = ay_ref[...]
+        oz_ref[...] = az_ref[...]
+        oe_ref[...] = ae_ref[...]
+
     _kernel_xy_step(pxy_ref, v_ref, ox_ref, oy_ref, oz_ref, oe_ref, r,
                     mod, n0, one_m)
 
@@ -1338,7 +1361,7 @@ def _msm_host_planned(curve, plan: MsmPlan, xs, ys, host_plan):
         ax, ay, az, ae = _run_groups(
             curve, gplan, rg, xs, ys_ext, oy_, bs_, be_, n_groups
         )
-        return _msm_reduce_stage(curve, gplan, ax, ay, az), jnp.sum(ae[0])
+        return _msm_reduce_stage(curve, gplan, ax, ay, az), jnp.any(ae[0])
     ax = jnp.zeros((k, lanes), jnp.uint32)
     ay = jnp.zeros((k, lanes), jnp.uint32)
     az = jnp.zeros((k, lanes), jnp.uint32)
@@ -1348,7 +1371,7 @@ def _msm_host_planned(curve, plan: MsmPlan, xs, ys, host_plan):
             curve, gplan, rg, xs, ys_ext, oy_, bs_, be_, jnp.int32(r0)
         )
         ax, ay, az, ae = _accum_group(curve, gplan, ax, ay, az, ae, px, py, v)
-    return _msm_reduce_stage(curve, gplan, ax, ay, az), jnp.sum(ae[0])
+    return _msm_reduce_stage(curve, gplan, ax, ay, az), jnp.any(ae[0])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -1410,7 +1433,7 @@ def _msm_fused(curve, plan: MsmPlan, xs, ys, scalars, point_valid,
         return _msm_host_planned(curve, plan, xs, ys, host_plan)
     px, py, vstream = _msm_stream_stage(curve, plan, xs, ys, scalars, point_valid)
     ox, oy, oz, exc = _msm_accum_stage(curve, plan, px, py, vstream)
-    return _msm_reduce_stage(curve, plan, ox, oy, oz), jnp.sum(exc)
+    return _msm_reduce_stage(curve, plan, ox, oy, oz), jnp.any(exc)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -1584,7 +1607,7 @@ def msm_tpu(
         ax, ay, az, ae = _msm_device_planned(
             curve, geo, RG_ROUNDS, xs, ys, sc_dev, point_valid,
             rounds_cap=cap)
-        if int(jnp.sum(ae[0])) != 0:
+        if bool(jnp.any(ae[0])):
             # in-bucket P == Q doubling: re-run through the unified path
             sc_np = np.asarray(scalars_limbs)
             slow, host_plan = plan_and_stream(
@@ -1804,7 +1827,7 @@ def msm_shared(curve, query, wplan: WitnessMsmPlan, host_add, host_mul,
             curve, wplan.geo, RG_ROUNDS, q_xs, q_ys,
             wplan.order_y, wplan.b_start, wplan.b_end, wplan.occ, qv,
             idx_enc=wplan.idx_enc(RG_ROUNDS) if _use_xy() else None)
-        if int(jnp.sum(ae[0])) != 0:
+        if bool(jnp.any(ae[0])):
             # in-bucket doubling (possible when distinct wires share an
             # identical query point AND an identical witness value below
             # the heavy threshold): re-run the whole query through the

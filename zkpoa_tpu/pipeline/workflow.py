@@ -111,6 +111,10 @@ def run_workflow(
     contribute_entropy: Optional[str] = None,
     beacon_hash: Optional[str] = None,
 ) -> WorkflowResult:
+    if (contribute_entropy or beacon_hash) and not ptau_path:
+        raise ValueError(
+            "contribute_entropy/beacon_hash require ptau_path — phase-2 "
+            "randomization is only applied to a ceremony-derived key")
     # logs land in <build_root>/logs during input prep, then move under the
     # sized build dir naming once the batch plan is known
     tracer = Tracer(log_dir=None, profile=profile)
@@ -600,6 +604,10 @@ def main(argv=None) -> int:
                     help="phase-2 beacon randomizer applied after the "
                          "contribution (requires --ptau)")
     args = ap.parse_args(argv)
+    if (args.contribute or args.beacon) and not args.ptau:
+        ap.error("--contribute/--beacon require --ptau: phase-2 "
+                 "randomization only applies to a ceremony-derived key "
+                 "(without it the seeded dev SRS would be used silently)")
 
     res = run_workflow(
         args.sigs,
