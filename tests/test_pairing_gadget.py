@@ -216,6 +216,71 @@ def test_layer_three_verifies_own_inner_proof():
         layer_three_circuit([balance + 1], root, blinding_factor=777, inner=[(pvk, san)])
 
 
+@pytest.mark.slow
+def test_layer_three_verifies_two_inner_proofs():
+    """The layer-3 MULTI-proof aggregation loop (the reference's flagship
+    2-batch shape, circuits/layer_three.circom:41-48 +
+    tests/4_sigs_2_batches_12_height.sh): two distinct inner proofs with
+    distinct balances, both verified in-snark against [balance_b, root],
+    summed into one Pedersen commitment — and a tampered balance on
+    EITHER side must fail witness generation."""
+    from zkpoa_tpu.models.layers import layer_three_circuit
+    from zkpoa_tpu.pipeline.sanitize import sanitize
+    from zkpoa_tpu.prover import groth16
+    from zkpoa_tpu.prover.prove import prove
+    from zkpoa_tpu.prover.setup import setup
+
+    root = 987654321
+    balances = [4242, 1337]
+
+    def build_inner(balance):
+        # same structure for both balances (production batches share one
+        # zkey): balance = a + 242 with a = balance - 242
+        inner = Circuit()
+        out = inner.public_output()
+        root_sig = inner.public(root)
+        a = inner.var(balance - 242)
+        b = inner.var(242)
+        inner.constrain(a, b, inner.var((balance - 242) * 242))
+        inner.bind_output(out, a + b)
+        inner.assert_equal(root_sig, root)
+        return inner
+
+    sans, pvks = [], []
+    pk = None
+    for i, bal in enumerate(balances):
+        inner = build_inner(bal)
+        r1, w1 = inner.compile()
+        if pk is None:
+            pk = setup(r1, seed="recursion-test-2")
+        proof = prove(pk, r1, w1, seed=f"inner-{i}")
+        vk = groth16.VerifyingKey.from_json(pk.vk_json)
+        assert inner.public_values[0] == bal
+        assert groth16.verify(vk, proof, inner.public_values)
+        sans.append(sanitize(vk, proof, inner.public_values))
+        pvks.append(PG.PreparedVK.from_vk(vk))
+
+    c3 = layer_three_circuit(balances, root, blinding_factor=777,
+                             inner=list(zip(pvks, sans)))
+    r3, w3 = c3.compile()
+    assert r3.is_satisfied(w3)
+
+    # tampering either batch's balance must fail witness generation
+    # (no residue witness exists for the mismatched public pair)
+    with pytest.raises(ValueError):
+        layer_three_circuit([balances[0] + 1, balances[1]], root,
+                            blinding_factor=777,
+                            inner=list(zip(pvks, sans)))
+    with pytest.raises(ValueError):
+        layer_three_circuit([balances[0], balances[1] - 1], root,
+                            blinding_factor=777,
+                            inner=list(zip(pvks, sans)))
+    # swapping the two proofs swaps the balance binding: must also fail
+    with pytest.raises(ValueError):
+        layer_three_circuit(balances, root, blinding_factor=777,
+                            inner=[(pvks[1], sans[1]), (pvks[0], sans[0])])
+
+
 @pytest.mark.skipif(not has_reference(), reason="reference artifacts not mounted")
 def test_groth16_verify_gadget_rejects_tampered_public():
     d = _load_golden()
