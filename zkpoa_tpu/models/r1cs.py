@@ -116,6 +116,41 @@ class RowList:
         self.wire.append(w)
         self.cid.append(j)
 
+    def cid_of(self, coeff: int) -> int:
+        """Pool id for a coefficient (interning it on first sight)."""
+        j = self.pool_index.get(coeff)
+        if j is None:
+            j = len(self.pool)
+            self.pool_index[coeff] = j
+            self.pool.append(coeff)
+        return j
+
+    def extend_cols(self, idx_it, wire_it, cid_it) -> None:
+        """Bulk append pre-interned rows (cid values from cid_of).
+        Consumers require idx to stay non-decreasing across calls — the
+        caller emits whole consecutive constraint ranges."""
+        self.idx.extend(idx_it)
+        self.wire.extend(wire_it)
+        self.cid.extend(cid_it)
+
+    def extend_at(self, i: int, terms) -> None:
+        """Bulk append every (wire, coeff) term of ONE constraint i —
+        one C-level idx fill instead of a Python append per row."""
+        wire = self.wire
+        cid = self.cid
+        pi = self.pool_index
+        pool = self.pool
+        n0 = len(wire)
+        for w, co in terms:
+            j = pi.get(co)
+            if j is None:
+                j = len(pool)
+                pi[co] = j
+                pool.append(co)
+            wire.append(w)
+            cid.append(j)
+        self.idx.extend([i] * (len(wire) - n0))
+
     def __len__(self) -> int:
         return len(self.idx)
 
@@ -350,33 +385,44 @@ class Circuit:
     def raw_bits(self, val: int, n: int) -> List[int]:
         """Allocate n bit wires for `val` with boolean constraints
         b*(b-1)=0; returns wire indices (LSB first). The caller must add
-        the recomposition constraint binding them to a value."""
+        the recomposition constraint binding them to a value.
+
+        Bulk-emits all 3n rows with C-level slice/extend ops — the
+        per-bit append loop was ~84% of layer-1 circuit build time
+        (bit decomposition dominates the foreign-field gadgets)."""
         w = self.witness
-        a_app = self.a_rows.append
-        b_app = self.b_rows.append
         i0 = self.n_constraints
-        wires = []
-        for t in range(n):
-            wire = len(w)
-            w.append((val >> t) & 1)
-            ci = i0 + t
-            a_app((ci, wire, 1))
-            b_app((ci, wire, 1))
-            b_app((ci, 0, P - 1))
-            wires.append(wire)
+        w0 = len(w)
+        w.extend([(val >> t) & 1 for t in range(n)])
+        rng_i = range(i0, i0 + n)
+        rng_w = range(w0, w0 + n)
+        # A: (ci, bit_wire, 1) — cid 0 is always coeff 1
+        self.a_rows.extend_cols(rng_i, rng_w, bytes(n))
+        # B: (ci, bit_wire, 1), (ci, const_wire, -1) interleaved so idx
+        # stays sorted by constraint (native r1cs_eval contract)
+        b = self.b_rows
+        jm = b.cid_of(P - 1)
+        idx2 = [0] * (2 * n)
+        idx2[0::2] = rng_i
+        idx2[1::2] = rng_i
+        wire2 = [0] * (2 * n)
+        wire2[0::2] = rng_w
+        cid2 = [0] * (2 * n)
+        cid2[1::2] = [jm] * n
+        b.extend_cols(idx2, wire2, cid2)
         self.n_constraints = i0 + n
-        return wires
+        return list(rng_w)
 
     def raw_constrain(self, a_terms, b_terms, c_terms) -> None:
         """Append one constraint from (wire, coeff) iterables directly.
         Coefficients must already be reduced mod P."""
         i = self.n_constraints
-        for wt, co in a_terms:
-            self.a_rows.append((i, wt, co))
-        for wt, co in b_terms:
-            self.b_rows.append((i, wt, co))
-        for wt, co in c_terms:
-            self.c_rows.append((i, wt, co))
+        if a_terms:
+            self.a_rows.extend_at(i, a_terms)
+        if b_terms:
+            self.b_rows.extend_at(i, b_terms)
+        if c_terms:
+            self.c_rows.extend_at(i, c_terms)
         self.n_constraints = i + 1
 
     def raw_var(self, value: int) -> int:

@@ -1338,6 +1338,277 @@ def _use_xy() -> bool:
     return os.environ.get("ZKPOA_MSM_XY", "1") != "0"
 
 
+# ---------------------------------------------------------------------------
+# Packed-XY G2 (Fp2) accumulation — the B2 MSM fast path
+#
+# The reference's rapidsnark runs its G2 MSM on the same Pippenger core as
+# G1 (scripts/g16_prove.sh:246-252 contract); our measured layer-2 long
+# pole (PROGRESS_ROUND4.md round-5 leads) was the jnp unified-add tree
+# path at ~15+ min/batch vs a few minutes for all four G1 MSMs combined.
+# This path reuses the shared sorted round stream (idx_enc) verbatim and
+# gathers TWO [N, K] packed tables (c0 and c1 planes, x|y in the 16-bit
+# halves) — two fast-width gathers instead of one 4x-slower [N, 2K] row
+# (MSM_STAGES.json: 32-column rows gather 4x slower than 16).  Fp2 ops
+# compose the same PF limb primitives with Karatsuba (3 mont_muls / mul).
+# ---------------------------------------------------------------------------
+
+
+def _k2_add(a, b, mod):
+    return (PF.k_add_mod(a[0], b[0], mod), PF.k_add_mod(a[1], b[1], mod))
+
+
+def _k2_sub(a, b, mod):
+    return (PF.k_sub_mod(a[0], b[0], mod), PF.k_sub_mod(a[1], b[1], mod))
+
+
+def _k2_dbl(a, mod):
+    return (PF.k_dbl_mod(a[0], mod), PF.k_dbl_mod(a[1], mod))
+
+
+def _k2_mul(a, b, mod, n0):
+    """Karatsuba Fp2 mul over u^2 = -1: 3 Montgomery muls."""
+    t0 = PF.k_mont_mul(a[0], b[0], mod, n0)
+    t1 = PF.k_mont_mul(a[1], b[1], mod, n0)
+    t2 = PF.k_mont_mul(PF.k_add_mod(a[0], a[1], mod),
+                       PF.k_add_mod(b[0], b[1], mod), mod, n0)
+    return (PF.k_sub_mod(t0, t1, mod),
+            PF.k_sub_mod(PF.k_sub_mod(t2, t0, mod), t1, mod))
+
+
+def _k2_sqr(a, mod, n0):
+    """(a0+a1)(a0-a1), 2*a0*a1 — 2 Montgomery muls."""
+    c0 = PF.k_mont_mul(PF.k_add_mod(a[0], a[1], mod),
+                       PF.k_sub_mod(a[0], a[1], mod), mod, n0)
+    t = PF.k_mont_mul(a[0], a[1], mod, n0)
+    return (c0, PF.k_add_mod(t, t, mod))
+
+
+def _k2_is_zero(a):
+    return jnp.logical_and(PF.k_is_zero(a[0]), PF.k_is_zero(a[1]))
+
+
+def _k2_select(cond, a, b):
+    return (PF.k_select(cond, a[0], b[0]), PF.k_select(cond, a[1], b[1]))
+
+
+def _k_jac_madd_noexcept_fp2(x1, y1, z1, xq, yq, q_valid, mod, n0, one_m):
+    """Fp2 mixed Jacobian add, same statement as _k_jac_madd_noexcept:
+    the P == Q doubling case is flagged, not computed."""
+    mm = lambda p, q: _k2_mul(p, q, mod, n0)  # noqa: E731
+    sq = lambda p: _k2_sqr(p, mod, n0)  # noqa: E731
+    z1z1 = sq(z1)
+    u2 = mm(xq, z1z1)
+    s2 = mm(mm(yq, z1), z1z1)
+    h = _k2_sub(u2, x1, mod)
+    r = _k2_sub(s2, y1, mod)
+    hh = sq(h)
+    hhh = mm(h, hh)
+    v = mm(x1, hh)
+    x3 = _k2_sub(_k2_sub(sq(r), hhh, mod), _k2_dbl(v, mod), mod)
+    y3 = _k2_sub(mm(r, _k2_sub(v, x3, mod)), mm(y1, hhh), mod)
+    z3 = mm(z1, h)
+
+    p_inf = _k2_is_zero(z1)
+    same_x = _k2_is_zero(h)
+    same_y = _k2_is_zero(r)
+    is_double = jnp.logical_and(jnp.logical_and(same_x, same_y),
+                                jnp.logical_not(p_inf))
+    is_cancel = jnp.logical_and(same_x, jnp.logical_not(same_y))
+
+    k = len(z3[0])
+    zeros = [jnp.zeros_like(z3[0][0])] * k
+    zero2 = (zeros, zeros)
+    one2 = ([jnp.full_like(z3[0][0], one_m[j]) for j in range(k)], zeros)
+    z3 = _k2_select(is_cancel, zero2, z3)
+    x3 = _k2_select(p_inf, xq, x3)
+    y3 = _k2_select(p_inf, yq, y3)
+    z3 = _k2_select(p_inf, one2, z3)
+    invalid = jnp.logical_not(q_valid)
+    x3 = _k2_select(invalid, x1, x3)
+    y3 = _k2_select(invalid, y1, y3)
+    z3 = _k2_select(invalid, z1, z3)
+    exc = jnp.logical_and(is_double, q_valid)
+    return x3, y3, z3, exc
+
+
+def _pack_xy2(xs, ys, q_valid=None):
+    """Fp2 coordinate pytrees ((x0,x1),(y0,y1)), leaves [N, K] 16-bit-limb
+    arrays -> two packed tables (c0 plane, c1 plane), x|y in the 16-bit
+    halves. Invalid points become all-zero rows in BOTH planes ((0,0) is
+    never an affine twist point)."""
+    m0 = xs[0] | (ys[0] << 16)
+    m1 = xs[1] | (ys[1] << 16)
+    if q_valid is not None:
+        qv = q_valid.astype(jnp.uint32)[:, None]
+        m0 = m0 * qv
+        m1 = m1 * qv
+    return m0, m1
+
+
+def _gather_rows_pk2(plan: MsmPlan, xy0, xy1, idx_enc):
+    """Two packed-plane gathers against ONE shared index stream slice."""
+    n = plan.n
+    rg, lanes = idx_enc.shape
+    k = xy0.shape[1]
+    flat = idx_enc.reshape(-1)
+    valid = flat < 2 * n
+    sign = flat >= n
+    row = jnp.where(valid, flat - jnp.where(sign, n, 0), 0)
+    p0 = jnp.transpose(xy0[row].reshape(rg, lanes, k), (0, 2, 1))
+    p1 = jnp.transpose(xy1[row].reshape(rg, lanes, k), (0, 2, 1))
+    v = (valid.astype(jnp.uint32)
+         | ((sign & valid).astype(jnp.uint32) << 1)).reshape(rg, lanes)
+    return p0, p1, v
+
+
+def _kernel_xy2_step(p0_ref, p1_ref, v_ref, ox_ref, oy_ref, oz_ref, oe_ref,
+                     r, mod, n0, one_m):
+    """Shared body of the packed Fp2 kernels. Accumulator refs are
+    [2K, tile]: rows [0, K) = c0 plane, [K, 2K) = c1 plane."""
+    k = ox_ref.shape[0] // 2
+
+    def split(ref):
+        return ([ref[j] for j in range(k)], [ref[k + j] for j in range(k)])
+
+    x1 = split(ox_ref)
+    y1 = split(oy_ref)
+    z1 = split(oz_ref)
+    xq = ([p0_ref[0, j] & jnp.uint32(0xFFFF) for j in range(k)],
+          [p1_ref[0, j] & jnp.uint32(0xFFFF) for j in range(k)])
+    yq0 = [p0_ref[0, j] >> 16 for j in range(k)]
+    yq1 = [p1_ref[0, j] >> 16 for j in range(k)]
+    vw = v_ref[r % 8]
+    nz = p0_ref[0, 0]
+    for j in range(1, k):
+        nz = nz | p0_ref[0, j]
+    for j in range(k):
+        nz = nz | p1_ref[0, j]
+    vq = jnp.logical_and((vw & 1) != 0, nz != 0)
+    sgn = (vw & 2) != 0
+    zero = [jnp.zeros_like(yq0[0])] * k
+    yq0 = PF.k_select(sgn, PF.k_sub_mod(zero, yq0, mod), yq0)
+    yq1 = PF.k_select(sgn, PF.k_sub_mod(zero, yq1, mod), yq1)
+    x3, y3, z3, exc = _k_jac_madd_noexcept_fp2(
+        x1, y1, z1, xq, (yq0, yq1), vq, mod, n0, one_m)
+    ox_ref[...] = PF._stack(x3[0] + x3[1])
+    oy_ref[...] = PF._stack(y3[0] + y3[1])
+    oz_ref[...] = PF._stack(z3[0] + z3[1])
+    oe_ref[0] = oe_ref[0] | exc.astype(jnp.uint32)
+
+
+def _accum_group_kernel_xy2(ax_ref, ay_ref, az_ref, ae_ref, p0_ref, p1_ref,
+                            v_ref, ox_ref, oy_ref, oz_ref, oe_ref,
+                            *, mod, n0, one_m):
+    """Aliased-buffer packed Fp2 kernel (host-dispatched group loop);
+    output VMEM blocks seeded from the input refs at round 0 — aliasing
+    shares HBM only."""
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _seed():
+        ox_ref[...] = ax_ref[...]
+        oy_ref[...] = ay_ref[...]
+        oz_ref[...] = az_ref[...]
+        oe_ref[...] = ae_ref[...]
+
+    _kernel_xy2_step(p0_ref, p1_ref, v_ref, ox_ref, oy_ref, oz_ref, oe_ref,
+                     r, mod, n0, one_m)
+
+
+LANE_TILE2 = 2048  # Fp2 kernel lane tile: 2x the limb rows + ~3x the madd
+# temporaries of G1 — half the G1 tile keeps the working set in VMEM
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _accum_group_step_pk2(curve, plan: MsmPlan, rg: int, ax, ay, az, ae,
+                          xy0, xy1, idx_enc, r0):
+    """One host-dispatched Fp2 round group: shared-stream slice + two
+    packed-plane gathers + aliased kernel."""
+    spec = curve.field
+    k = spec.n_limbs
+    lanes = plan.lanes
+    mod = tuple(int(x) for x in spec.mod_limbs)
+    n0 = int(spec.n0inv)
+    one_m = tuple(int(x) for x in spec.one_mont_limbs)
+    tile = LANE_TILE2 if lanes % LANE_TILE2 == 0 else lanes
+    ntiles = lanes // tile
+    idx_g = jax.lax.dynamic_slice_in_dim(idx_enc, r0, rg, axis=0)
+    p0, p1, v = _gather_rows_pk2(plan, xy0, xy1, idx_g)
+    kernel = functools.partial(_accum_group_kernel_xy2, mod=mod, n0=n0,
+                               one_m=one_m)
+    coord_in = pl.BlockSpec((1, k, tile), lambda j, i: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+    flag_in = pl.BlockSpec((8, tile), lambda j, i: (i // 8, j),
+                           memory_space=pltpu.VMEM)
+    coord_acc = pl.BlockSpec((2 * k, tile), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM)
+    exc_spec = pl.BlockSpec((8, tile), lambda j, i: (0, j),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((2 * k, lanes), jnp.uint32)] * 3
+        + [jax.ShapeDtypeStruct((8, lanes), jnp.uint32)],
+        grid=(ntiles, rg),
+        in_specs=[coord_acc, coord_acc, coord_acc, exc_spec,
+                  coord_in, coord_in, flag_in],
+        out_specs=[coord_acc] * 3 + [exc_spec],
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+    )(ax, ay, az, ae, p0, p1, v)
+
+
+def _run_groups_pk2(curve, gplan: MsmPlan, rg: int, xy0, xy1, idx_enc,
+                    n_groups: int):
+    """Host-loop packed Fp2 grouped accumulation (the proven-stable shape
+    at prover-scale N — see _msm_device_planned)."""
+    spec = curve.field
+    k = spec.n_limbs
+    lanes = gplan.lanes
+    ax = jnp.zeros((2 * k, lanes), jnp.uint32)
+    ay = jnp.zeros((2 * k, lanes), jnp.uint32)
+    az = jnp.zeros((2 * k, lanes), jnp.uint32)
+    ae = jnp.zeros((8, lanes), jnp.uint32)
+    for g in range(n_groups):
+        ax, ay, az, ae = _accum_group_step_pk2(
+            curve, gplan, rg, ax, ay, az, ae, xy0, xy1, idx_enc,
+            jnp.int32(g * rg))
+    return ax, ay, az, ae
+
+
+def _msm_accum_shared2(curve, plan: MsmPlan, rg: int, xs, ys,
+                       order_y, b_start, b_end, occ, q_valid, idx_enc=None):
+    """Shared-plan packed Fp2 accumulation (the B2 MSM against the
+    witness plan). Returns raw [2K, lanes] bucket state + exception
+    flags; the caller reduces via _reduce_packed_g2 or falls back to the
+    unified tree path when a lane flags an in-bucket doubling."""
+    n_groups = (int(occ) + rg - 1) // rg
+    xy0, xy1 = _pack_xy2(xs, ys, q_valid=q_valid)
+    if idx_enc is None:
+        idx_enc = _materialize_stream_j(plan, n_groups * rg, order_y,
+                                        b_start, b_end)
+    return _run_groups_pk2(curve, plan, rg, xy0, xy1, idx_enc, n_groups)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _reduce_packed_g2(curve, plan: MsmPlan, ax, ay, az):
+    """[2K, lanes] packed bucket planes -> Fp2 Jacobian bucket pytree ->
+    the generic weighted reduce (Horner over windows)."""
+    k = curve.field.n_limbs
+    nw, nb = plan.nw, plan.nb
+
+    def unp(a):
+        return (a[:k].T.reshape(nw, nb, k), a[k:].T.reshape(nw, nb, k))
+
+    return _weighted_reduce(curve, (unp(ax), unp(ay), unp(az)), plan)
+
+
+def _use_g2_pallas() -> bool:
+    import os
+
+    return (jax.default_backend() != "cpu" and _use_xy()
+            and os.environ.get("ZKPOA_PALLAS") != "0"
+            and os.environ.get("ZKPOA_G2_PALLAS", "1") != "0")
+
+
 def _msm_host_planned(curve, plan: MsmPlan, xs, ys, host_plan):
     """Grouped gather+accumulate driver for host-planned MSMs: fixed-shape
     compile units regardless of N and round count."""
@@ -1486,9 +1757,18 @@ def _tree_accum_reduce(curve, plan: MsmPlan, xs, ys, idx2, sign2, valid):
 def _tree_device_planned(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
                          point_valid):
     """Device-planned pytree-coordinate MSM (G2 over Fp2): device recode +
-    sort, then per-group accumulation programs (see _msm_device_planned
-    for why host planning was abandoned)."""
+    sort, then packed Fp2 Pallas accumulation (unified tree fallback on
+    an in-bucket doubling flag or when Pallas is disabled)."""
     order_y, b_start, b_end, occ = _plan_dev(plan, scalars, point_valid)
+    if _use_g2_pallas():
+        n_groups = (int(occ) + rg - 1) // rg
+        xy0, xy1 = _pack_xy2(xs, ys)
+        idx_enc = _materialize_stream_j(plan, n_groups * rg, order_y,
+                                        b_start, b_end)
+        ax, ay, az, ae = _run_groups_pk2(curve, plan, rg, xy0, xy1,
+                                         idx_enc, n_groups)
+        if not bool(jnp.any(ae[0])):
+            return _reduce_packed_g2(curve, plan, ax, ay, az)
     return _tree_accum_shared(curve, plan, rg, xs, ys,
                               order_y, b_start, b_end, occ, None)
 
@@ -1819,9 +2099,20 @@ def msm_shared(curve, query, wplan: WitnessMsmPlan, host_add, host_mul,
             extra = host_add(extra, contrib) if extra is not None else contrib
     qv = jnp.asarray(pv)
     if use_tree:
-        res = _tree_accum_shared(
-            curve, wplan.geo, RG_ROUNDS, q_xs, q_ys,
-            wplan.order_y, wplan.b_start, wplan.b_end, wplan.occ, qv)
+        res = None
+        if _use_g2_pallas():
+            ax, ay, az, ae = _msm_accum_shared2(
+                curve, wplan.geo, RG_ROUNDS, q_xs, q_ys,
+                wplan.order_y, wplan.b_start, wplan.b_end, wplan.occ, qv,
+                idx_enc=wplan.idx_enc(RG_ROUNDS))
+            if bool(jnp.any(ae[0])):
+                res = None  # in-bucket doubling: unified tree fallback
+            else:
+                res = _reduce_packed_g2(curve, wplan.geo, ax, ay, az)
+        if res is None:
+            res = _tree_accum_shared(
+                curve, wplan.geo, RG_ROUNDS, q_xs, q_ys,
+                wplan.order_y, wplan.b_start, wplan.b_end, wplan.occ, qv)
     else:
         ax, ay, az, ae = _msm_accum_shared(
             curve, wplan.geo, RG_ROUNDS, q_xs, q_ys,
