@@ -336,6 +336,48 @@ def ff_div(c: Circuit, a: FF, b: FF) -> FF:
     return t
 
 
+def ff_assert_canonical(c: Circuit, a: FF) -> None:
+    """Assert a.value < p given n-bit range-checked limbs.
+
+    Cheap form (~n + 3k constraints) when every limb of p above the lowest
+    is 2^n - 1 (secp256k1 Fq/Fr, ed25519 at 85x3): with limbs bounded by
+    2^n - 1, a >= p iff every upper limb EQUALS its (all-ones) p limb and
+    limb 0 >= p_0 — one is_zero per upper limb, one (n+1)-bit compare on
+    limb 0, and a product forced to 0. Falls back to the generic chained
+    compare otherwise."""
+    from .core import is_zero
+
+    spec = a.spec
+    n, k = spec.n, spec.k
+    p_limbs = [(spec.p >> (n * i)) & ((1 << n) - 1) for i in range(k)]
+    m = (1 << n) - 1
+    if any(pl != m for pl in p_limbs[1:]):
+        big_less_than(c, a, p_limbs)
+        return
+    assert a.value < spec.p, "ff_assert_canonical: witness not canonical"
+    # ge0 = bit n of (a_0 - p_0 + 2^n)  <=>  a_0 >= p_0
+    ge0 = num2bits(c, a.limbs[0] - p_limbs[0] + (1 << n), n + 1)[n]
+    acc = _lc(ge0)
+    for i in range(1, k):
+        acc = _lc(c.mul(acc, is_zero(c, a.limbs[i] - m)))
+    c.assert_equal(acc, 0)
+
+
+def ff_assert_limbs_differ(c: Circuit, a: FF, b: FF) -> None:
+    """Assert a != b mod p for CANONICAL operands (< p), by limbwise
+    inequality: prod_i eq_i == 0 (~3k constraints). With both values
+    canonical, limb equality <=> congruence — this replaces a full
+    w * (a-b) == 1 inverse congruence (~1.2k constraints at 64x4) at
+    every checked chord add."""
+    from .core import is_zero
+
+    acc: Optional[LC] = None
+    for x, y in zip(a.limbs, b.limbs):
+        f = is_zero(c, x - y)
+        acc = _lc(f) if acc is None else _lc(c.mul(acc, f))
+    c.assert_equal(acc, 0)
+
+
 def ff_is_equal(c: Circuit, a: FF, b: FF):
     """Boolean signal: 1 iff a == b limbwise (canonical inputs)."""
     from .core import is_zero
