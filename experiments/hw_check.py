@@ -341,8 +341,86 @@ def stage9():
     return ok
 
 
+def stage10():
+    """The UNBISECTED 2^23 device-setup fault (round-4 commit 924e003):
+    run _setup_scalars_device END-TO-END on a synthetic 2^23-domain
+    PackedR1CS-backed circuit — all buffers co-resident, exactly as the
+    gated path would run it — and cross-check a few scalars against the
+    exact host computation. stage8 cleared each piece standalone; this is
+    the combined-pressure repro. OK here = the
+    DEVICE_SCALARS_MAX_LOG_DOMAIN gate can be lifted."""
+    from zkpoa_tpu.models.r1cs import PackedMatrix, PackedR1CS
+    from zkpoa_tpu.prover import setup as S
+
+    m = 1 << 23
+    n_wires = 7_200_000
+    rng = np.random.default_rng(23)
+
+    rows = 9_000_000
+    mats = []
+    for mi in range(3):
+        wire = rng.integers(0, n_wires, size=rows).astype(np.int32)
+        wire[: rows // 3] = 0
+        mats.append(PackedMatrix(
+            idx=rng.integers(0, m - 8, size=rows).astype(np.int32),
+            wire=wire,
+            cid=rng.integers(0, 2, size=rows).astype(np.int32),
+        ))
+    pool = M2.scalars_to_limbs_fast([1, R - 1])
+    packed = PackedR1CS(a=mats[0], b=mats[1], c=mats[2], pool_limbs=pool,
+                        n_wires=n_wires, n_public=2, n_constraints=m - 8)
+
+    class _FakeR1CS:
+        n_wires = n_wires
+        n_public = 2
+        n_constraints = m - 8
+
+        def pack(self):
+            return packed
+
+    t0 = time.time()
+    try:
+        s = S._setup_scalars_device(_FakeR1CS(), "stage10-seed", "monomial")
+        a_t = np.asarray(s["a_t"][:4])
+        h0 = np.asarray(s["h_scalars"][:1])
+        log(f"stage10 device scalars 2^23: {time.time() - t0:.1f}s")
+    except Exception as e:  # noqa: BLE001
+        log(f"stage10 FAULT after {time.time() - t0:.1f}s: {e!r}")
+        return False
+    # exact host cross-check of a_t[w] for a few wires: sum over rows of
+    # coeff * L_{idx}(tau)
+    from zkpoa_tpu.ops.limbs import BN254_FR as FRS
+    from zkpoa_tpu.ops.ntt import domain_root
+
+    tau = S._hash_to_fr("stage10-seed", "tau")
+    w_root = domain_root(23)
+    minv = pow(m, -1, R)
+    zt = (pow(tau, m, R) - 1) % R
+    check_wires = [0, 1, 2, 3]
+    host = {w: 0 for w in check_wires}
+    pool_int = [1, R - 1]
+    sel = np.isin(mats[0].wire, check_wires)
+    idxs = mats[0].idx[sel]
+    wires = mats[0].wire[sel]
+    cids = mats[0].cid[sel]
+    # L_i(tau) = (w^i / m) * z(tau) / (tau - w^i)
+    for i, w, cid in zip(idxs.tolist(), wires.tolist(), cids.tolist()):
+        wi = pow(w_root, i, R)
+        li = wi * minv % R * zt % R * pow((tau - wi) % R, -1, R) % R
+        host[w] = (host[w] + pool_int[cid] * li) % R
+    ok = True
+    got = [int(x) for x in FRS.from_limbs(a_t)]
+    for w in check_wires:
+        if got[w] != host[w]:
+            log(f"stage10 a_t mismatch wire {w}")
+            ok = False
+    del s, h0
+    log(f"stage10: {'OK' if ok else 'FAIL'}")
+    return ok
+
+
 STAGES = {"1": stage1, "2": stage2, "3": stage3, "4": stage4, "5": stage5,
-          "6": stage6, "7": stage7, "8": stage8, "9": stage9}
+          "6": stage6, "7": stage7, "8": stage8, "9": stage9, "10": stage10}
 
 if __name__ == "__main__":
     which = sys.argv[1:] or list("123456")

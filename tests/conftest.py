@@ -9,7 +9,11 @@ import sys
 # Must be set before jax is imported anywhere. Force CPU: the ambient env
 # points JAX_PLATFORMS at the single real TPU chip (axon), but tests need a
 # virtual 8-device mesh and fast recompiles; bench.py uses the real chip.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# ZKPOA_TEST_TPU=1 keeps the ambient platform — used by the chip queue to
+# run the gated heavy e2e tests (ZKPOA_HEAVY_TESTS) on real hardware.
+_USE_TPU = os.environ.get("ZKPOA_TEST_TPU") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compile cache: the unrolled limb kernels are compile-heavy.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zkpoa_jax_cache")
 os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
@@ -30,7 +34,8 @@ if REPO_ROOT not in sys.path:
 # Re-override here (runs before any test imports build arrays).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 REFERENCE_ROOT = "/root/reference"
 
