@@ -110,3 +110,70 @@ def test_ecdsa_star_verify_full():
     E.ecdsa_star_verify(c, f_r, f_rp, f_s, f_m, e_pub)
     r1cs, wit = c.compile()
     assert r1cs.is_satisfied(wit)
+
+
+def test_ff_assert_canonical_boundary_and_soundness():
+    """Canonicity gadget (the chord add's cheap dx != 0 precondition):
+    satisfiable at the boundary value p-1; a consistently-forged
+    witness for value+p (representable when value < 2^256 - p) violates
+    the constraint system."""
+    fq = B.SECP_FQ
+    p = fq.p
+    c = Circuit()
+    a = B.ff_witness(c, fq, p - 1)
+    B.ff_assert_canonical(c, a)
+    r1, w = c.compile()
+    assert r1.is_satisfied(w)
+
+    # soundness: re-derive a FULLY consistent witness for the
+    # non-canonical representation value+p of a tiny value (fits in
+    # 256 bits), by rebuilding the same circuit shape with raw limbs
+    # and swapping the recorded bit/limb values
+    tiny = 5
+    forged = tiny + p
+    c2 = Circuit(check=False)
+    limbs = fq.to_limbs(tiny)
+    forged_limbs = [(forged >> (fq.n * i)) & ((1 << fq.n) - 1)
+                    for i in range(fq.k)]
+    a2 = B.ff_witness(c2, fq, tiny)
+    B.ff_assert_canonical(c2, a2)
+    r2, w2 = c2.compile()
+    assert r2.is_satisfied(w2)
+    # brute-force forge: walk every witness index; flipping the honest
+    # decomposition of `tiny` to that of `forged` must make SOME
+    # constraint fail no matter how the auxiliary wires are chosen —
+    # approximate by swapping limb+bit wires consistently
+    w3 = list(w2)
+    changed = False
+    for i, (hv, fv) in enumerate(zip(limbs, forged_limbs)):
+        if hv == fv:
+            continue
+        # find the limb wire holding hv and its bit wires after it
+        for wi, val in enumerate(w3):
+            if val == hv:
+                w3[wi] = fv
+                for b in range(fq.n):
+                    w3[wi + 1 + b] = (fv >> b) & 1
+                changed = True
+                break
+    assert changed
+    assert not r2.is_satisfied(w3)
+
+
+def test_ff_assert_limbs_differ():
+    fq = B.SECP_FQ
+    c = Circuit()
+    a = B.ff_witness(c, fq, 1234)
+    b = B.ff_witness(c, fq, 5678)
+    B.ff_assert_limbs_differ(c, a, b)
+    r1, w = c.compile()
+    assert r1.is_satisfied(w)
+
+    # equal values: the is_zero product becomes 1 and the assert fails
+    # at witness generation (check mode) or at satisfaction
+    c2 = Circuit(check=False)
+    a2 = B.ff_witness(c2, fq, 999)
+    b2 = B.ff_witness(c2, fq, 999)
+    B.ff_assert_limbs_differ(c2, a2, b2)
+    r2, w2 = c2.compile()
+    assert not r2.is_satisfied(w2)
