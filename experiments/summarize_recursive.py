@@ -75,24 +75,16 @@ def main():
     out["pedersen_check"] = None
     pub_path = os.path.join(l3, "public.json")
     if os.path.exists(pub_path):
-        from zkpoa_tpu.fields import curve25519 as C
-        from zkpoa_tpu.pipeline.pedersen_check import (check_commitment,
-                                                       dechunk_commitment)
+        from zkpoa_tpu.pipeline.pedersen_check import check_commitment
 
         pubs = [int(x) for x in json.load(open(pub_path))]
-        com = dechunk_commitment(pubs[:12])
-        bal = None
-        res_path = os.path.join(bdir, "result.json")
-        if os.path.exists(res_path):
-            bal = int(json.load(open(res_path))["balance_sum"])
-        else:
-            # balance = sum of per-batch layer-2 public[0]
-            bal = 0
-            for e in out["batches"]:
-                pj = os.path.join(bdir, f"batch_{e['batch']}", "public.json")
-                bal += int(json.load(open(pj))[0])
+        # balance = sum of per-batch layer-2 public[0] ([balance, root])
+        bal = 0
+        for e in out["batches"]:
+            pj = os.path.join(bdir, f"batch_{e['batch']}", "public.json")
+            bal += int(json.load(open(pj))[0])
         out["balance_sum"] = str(bal)
-        out["pedersen_check"] = bool(check_commitment(com, bal, blinding))
+        out["pedersen_check"] = bool(check_commitment(pubs, bal, blinding))
 
     ok = (all(e["layer2_verify"] for e in out["batches"])
           and bool(out["layer3_verify"]) and bool(out["pedersen_check"]))
