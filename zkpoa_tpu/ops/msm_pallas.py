@@ -2030,11 +2030,21 @@ class WitnessMsmPlan:
         """Round-major index stream, materialized once and shared by every
         query MSM over these scalars (a/b1/b2)."""
         if self._idx_enc is None:
+            assert self.order_y is not None, "order table already freed"
             n_groups = (int(self.occ) + rg - 1) // rg
             self._idx_enc = _materialize_stream_j(
                 self.geo, n_groups * rg, self.order_y, self.b_start,
                 self.b_end)
         return self._idx_enc
+
+    def free_order_y(self, rg: int = RG_ROUNDS) -> None:
+        """Low-HBM mode: materialize the index stream, then drop the
+        [nw, N] device order table it was built from (~1.1 GB at a 15M-
+        wire key — idle HBM through every accumulation). The rare
+        in-bucket-doubling fallbacks re-plan from scalars_np on the host
+        instead of reusing the device plan."""
+        self.idx_enc(rg)
+        self.order_y = None
 
 
 def plan_witness_msms(scalars_limbs: np.ndarray, scalars_dev,
@@ -2110,6 +2120,13 @@ def msm_shared(curve, query, wplan: WitnessMsmPlan, host_add, host_mul,
             else:
                 res = _reduce_packed_g2(curve, wplan.geo, ax, ay, az)
         if res is None:
+            if wplan.order_y is None:
+                # low-HBM mode dropped the device order table: host-plan
+                scal = (wplan.scalars_np[prefix_pad:] if prefix_pad
+                        else wplan.scalars_np)
+                return msm_tpu_heavy_split(
+                    curve, query, scal, host_add, host_mul,
+                    c=wplan.geo.c, use_tree=True)
             res = _tree_accum_shared(
                 curve, wplan.geo, RG_ROUNDS, q_xs, q_ys,
                 wplan.order_y, wplan.b_start, wplan.b_end, wplan.occ, qv)

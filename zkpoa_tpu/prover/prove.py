@@ -146,6 +146,18 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
     # wires from the ~650k bit-valued wires). The witness limbs are
     # uploaded ONCE and shared by the a/b1/c/b2 MSMs (device planning
     # needs no per-MSM host data).
+    # Low-HBM mode for very large keys (the 15.2M-wire layer-3 prove
+    # RESOURCE_EXHAUSTED the chip with ~3 GB of idle buffers resident):
+    # spill the h-operand to host until its own MSM (it is consumed LAST)
+    # and drop the [nw, N] device order table once the shared index
+    # stream is materialized.
+    low_hbm = (jax.default_backend() != "cpu"
+               and (pk.n_vars >= int(_os.environ.get(
+                   "ZKPOA_LOW_HBM_MIN_VARS", str(10_000_000)))))
+    if low_hbm and not isinstance(h_limbs, np.ndarray):
+        _vlog("low-HBM: spilling h operand to host until the h MSM")
+        h_limbs = np.asarray(h_limbs)
+
     w_dev = jnp.asarray(w_limbs)
     if jax.default_backend() != "cpu":
         # ONE device plan (digit recode + bucket sort) shared by the
@@ -153,6 +165,8 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
         # the accumulation
         _vlog("witness MSM plan (shared)")
         wplan = M2.plan_witness_msms(w_limbs, w_dev)
+        if low_hbm:
+            wplan.free_order_y()
         _vlog("a-query MSM")
         a_acc = M2.msm_shared(BN254_G1, pk.a_query, wplan,
                               bn254.g1_add, bn254.g1_mul)
@@ -189,6 +203,15 @@ def _prove_device(pk: ProvingKey, r1cs: R1CS, witness, seed, r, s) -> Proof:
             bn254.g1_add, bn254.g1_mul,
             scalars_dev=w_dev[pk.n_public + 1 :])
     _vlog("h-query MSM")
+    if low_hbm:
+        # everything the h MSM doesn't need is released first: the shared
+        # witness plan (order table already dropped, the stream + scalars
+        # go now) — then the spilled h operand comes back on device so
+        # the MSM uses device planning (host planning would ship a
+        # [nw, N] order table through the tunnel)
+        wplan = None
+        w_dev = None
+        h_limbs = jnp.asarray(h_limbs)
     h_xs = jnp.asarray(pk.h_query.xs)
     h_ys = jnp.asarray(pk.h_query.ys)
     h_acc_d = M2.msm_tpu(BN254_G1, h_xs, h_ys, h_limbs,
