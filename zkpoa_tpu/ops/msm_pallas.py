@@ -621,8 +621,10 @@ def _reduce_scan_kernel(tbl_ref, ax_ref, ay_ref, az_ref,
         # unified add in column chunks: the fully unrolled _k_jac_add's
         # live temporaries on [K, 4096] rows blow the ~16MB scoped-VMEM
         # budget (measured OOM at c=13); the post-roll add is lane-wise,
-        # so chunking the columns only bounds the temporary footprint
-        chunk = min(nb, 1024)
+        # so chunking the columns only bounds the temporary footprint.
+        # At nb >= 16384 (c=15) even 1024-column chunks overflowed the
+        # scoped budget by 2.8MB (MSM_AB r5 record) — halve again.
+        chunk = min(nb, 1024 if nb <= 8192 else 512)
         for c0 in range(0, nb, chunk):
             sl = slice(c0, c0 + chunk)
             x3, y3, z3 = PF._k_jac_add(
