@@ -370,10 +370,12 @@ def stage10():
     packed = PackedR1CS(a=mats[0], b=mats[1], c=mats[2], pool_limbs=pool,
                         n_wires=n_wires, n_public=2, n_constraints=m - 8)
 
+    nw_, m_ = n_wires, m  # class bodies cannot read function locals
+
     class _FakeR1CS:
-        n_wires = n_wires
+        n_wires = nw_
         n_public = 2
-        n_constraints = m - 8
+        n_constraints = m_ - 8
 
         def pack(self):
             return packed

@@ -383,3 +383,37 @@ def test_weighted_reduce_pallas_interpret_matches_xla():
     d_want = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], want))[0]
     d_got = BN254_G1.decode_jac(jax.tree.map(lambda a: a[None], got))[0]
     assert d_got == d_want
+
+
+def test_repair_exc_lanes_reconstructs_full_msm():
+    """The in-bucket-doubling lane repair (host recompute of flagged
+    bucket lanes) must reproduce the exact member/sign/top-window-digit/
+    weight accounting of the device plan: flagging EVERY lane makes the
+    summed repair contribution equal the full MSM value."""
+    import types
+
+    from zkpoa_tpu.fields import bn254
+
+    rng = np.random.default_rng(77)
+    n, c = 16, 6
+    spec = BN254_G1.field
+    gen_mults = [int(g) + 1 for g in rng.integers(1, 1 << 30, size=n)]
+    pts = [bn254.g1_mul(bn254.G1_GEN, g) for g in gen_mults]
+    xs = spec.encode([p[0] for p in pts])
+    ys = spec.encode([p[1] for p in pts])
+    scalars = [int.from_bytes(rng.bytes(32), "big") % bn254.R
+               for _ in range(n)]
+    sc = M2.scalars_to_limbs_fast(scalars)
+    wplan = M2.plan_witness_msms(sc, jnp.asarray(sc), c=c)
+    assert not wplan.heavy  # random scalars: nothing peeled
+    query = types.SimpleNamespace(xs=xs, ys=ys,
+                                  valid=np.ones(n, dtype=bool))
+    ae = np.zeros((8, wplan.geo.lanes), dtype=np.uint32)
+    ae[0, :] = 1  # flag every lane
+    flagged, extra = M2._repair_exc_lanes(
+        BN254_G1, wplan, query, np.ones(n, dtype=bool), ae,
+        bn254.g1_add, bn254.g1_mul, 0)
+    assert len(flagged) == wplan.geo.lanes
+    want_k = sum(s * g for s, g in zip(scalars, gen_mults)) % bn254.R
+    want = bn254.g1_mul(bn254.G1_GEN, want_k)
+    assert extra == want

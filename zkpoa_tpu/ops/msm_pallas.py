@@ -2074,6 +2074,106 @@ def plan_witness_msms(scalars_limbs: np.ndarray, scalars_dev,
     return WitnessMsmPlan(geo, oy, bs, be, occ, heavy, scalars_limbs)
 
 
+MAX_REPAIR_LANES = 4096  # above: in-bucket doublings are no longer "rare"
+
+
+def _host_neg_affine(pt):
+    """Host negation of an affine point over Fp (G1) or Fp2 (G2)."""
+    from ..fields.bn254 import P as _P
+
+    x, y = pt
+    if isinstance(y, tuple):
+        return (x, tuple((_P - c) % _P for c in y))
+    return (x, (_P - y) % _P)
+
+
+def _host_rows_decode(curve, coord, rows):
+    """Decode query-table rows (Montgomery limb arrays, host numpy or
+    device) to host ints. `coord` is one coordinate pytree: a [N, K]
+    array (Fp) or a tuple of two (Fp2)."""
+    spec = curve.field
+
+    def one(arr):
+        a = np.asarray(arr)[rows]
+        plain = np.asarray(spec.from_mont(jnp.asarray(a)))
+        return [int(v) for v in spec.from_limbs(plain)]
+
+    if isinstance(coord, tuple):
+        c0, c1 = one(coord[0]), one(coord[1])
+        return [(a, b) for a, b in zip(c0, c1)]
+    return one(coord)
+
+
+def _repair_exc_lanes(curve, wplan: WitnessMsmPlan, query, qv_np, ae,
+                      host_add, host_mul, prefix_pad: int):
+    """Exact host repair for bucket lanes whose fast-kernel accumulation
+    flagged an in-bucket P == Q doubling (possible when distinct wires
+    share an identical query point AND an identical sub-heavy witness
+    value — observed on the 15.2M-wire layer-3 a-query, where many
+    congruence product wires legitimately share one column row's
+    A-polynomial). The flagged lanes' device state is garbage; their
+    TRUE bucket sums are recomputed on the host from a bit-identical
+    host plan and returned as one weighted host-point contribution,
+    while the caller zeroes those lanes before the reduce. The previous
+    whole-query unified fallback re-ran the full MSM (minutes) and
+    double-allocated HBM (RESOURCE_EXHAUSTED at 15M wires).
+
+    Returns (flagged_lane_indices ndarray, host point or None)."""
+    geo = wplan.geo
+    flagged = np.flatnonzero(np.asarray(ae[0]))
+    cached = getattr(wplan, "_host_plan", None)
+    if cached is None:
+        mask = np.ones(geo.n, dtype=bool)
+        for _val, sel in wplan.heavy:
+            mask[sel] = False
+        _p, cached = plan_and_stream(
+            wplan.scalars_np, geo.n_bits, geo.c, mask, plan=geo)
+        wplan._host_plan = cached  # shared across the proof's 4 queries
+    oy, bs, be = cached
+    nb, n = geo.nb, geo.n
+    extra = None
+    for lane in flagged.tolist():
+        w, b = divmod(int(lane), nb)
+        members = oy[w][bs[w, b]:be[w, b]]
+        idxs, signs = [], []
+        for enc in np.asarray(members).tolist():
+            sign = enc >= n
+            i = enc - n if sign else enc
+            if not qv_np[i]:
+                continue
+            idxs.append(i - prefix_pad)
+            signs.append(sign)
+        s_pt = None
+        if idxs:
+            rows = np.asarray(idxs, dtype=np.int64)
+            xs_i = _host_rows_decode(curve, query.xs, rows)
+            ys_i = _host_rows_decode(curve, query.ys, rows)
+            for x, y, sg in zip(xs_i, ys_i, signs):
+                pt = (x, y)
+                if sg:
+                    pt = _host_neg_affine(pt)
+                s_pt = pt if s_pt is None else host_add(s_pt, pt)
+        if s_pt is None:
+            continue
+        # slot -> digit value (must mirror the planner's top-window alias
+        # layout: block path key = (d-1)*top_block + chunk, stride path
+        # key = (d-1) + top_stride*chunk)
+        if w == geo.nw - 1 and geo.top_block:
+            d = b // geo.top_block + 1
+        elif w == geo.nw - 1 and geo.spread > 1:
+            d = (b % geo.top_stride) + 1
+        else:
+            d = b + 1
+        contrib = host_mul(s_pt, d << (geo.c * w))
+        extra = contrib if extra is None else host_add(extra, contrib)
+    return flagged, extra
+
+
+def _zero_lanes(arrs, flagged):
+    idx = jnp.asarray(flagged)
+    return [a.at[:, idx].set(0) for a in arrs]
+
+
 def msm_shared(curve, query, wplan: WitnessMsmPlan, host_add, host_mul,
                use_tree: bool = False, prefix_pad: int = 0):
     """One query-table MSM against a shared witness plan. Returns a host
@@ -2117,10 +2217,17 @@ def msm_shared(curve, query, wplan: WitnessMsmPlan, host_add, host_mul,
                 curve, wplan.geo, RG_ROUNDS, q_xs, q_ys,
                 wplan.order_y, wplan.b_start, wplan.b_end, wplan.occ, qv,
                 idx_enc=wplan.idx_enc(RG_ROUNDS))
-            if bool(jnp.any(ae[0])):
-                res = None  # in-bucket doubling: unified tree fallback
-            else:
+            flagged = np.flatnonzero(np.asarray(ae[0]))
+            if len(flagged) == 0:
                 res = _reduce_packed_g2(curve, wplan.geo, ax, ay, az)
+            elif len(flagged) <= MAX_REPAIR_LANES:
+                flagged, rep = _repair_exc_lanes(
+                    curve, wplan, query, pv, ae, host_add, host_mul,
+                    prefix_pad)
+                ax, ay, az = _zero_lanes([ax, ay, az], flagged)
+                res = _reduce_packed_g2(curve, wplan.geo, ax, ay, az)
+                if rep is not None:
+                    extra = rep if extra is None else host_add(extra, rep)
         if res is None:
             if wplan.order_y is None:
                 # low-HBM mode dropped the device order table: host-plan
@@ -2137,16 +2244,26 @@ def msm_shared(curve, query, wplan: WitnessMsmPlan, host_add, host_mul,
             curve, wplan.geo, RG_ROUNDS, q_xs, q_ys,
             wplan.order_y, wplan.b_start, wplan.b_end, wplan.occ, qv,
             idx_enc=wplan.idx_enc(RG_ROUNDS) if _use_xy() else None)
-        if bool(jnp.any(ae[0])):
+        flagged = np.flatnonzero(np.asarray(ae[0]))
+        if len(flagged):
             # in-bucket doubling (possible when distinct wires share an
-            # identical query point AND an identical witness value below
-            # the heavy threshold): re-run the whole query through the
-            # unified host-planned path, aligned to the query's own span
-            scal = (wplan.scalars_np[prefix_pad:] if prefix_pad
-                    else wplan.scalars_np)
-            return msm_tpu_heavy_split(
-                curve, query, scal, host_add, host_mul,
-                c=wplan.geo.c, use_tree=use_tree)
+            # identical query point AND an identical sub-heavy witness
+            # value — routinely true for congruence product wires at the
+            # 15M-wire layer-3): repair just the flagged lanes on host
+            if len(flagged) <= MAX_REPAIR_LANES:
+                flagged, rep = _repair_exc_lanes(
+                    curve, wplan, query, pv, ae, host_add, host_mul,
+                    prefix_pad)
+                ax, ay, az = _zero_lanes([ax, ay, az], flagged)
+                if rep is not None:
+                    extra = rep if extra is None else host_add(extra, rep)
+            else:
+                # pathological count: whole-query unified fallback
+                scal = (wplan.scalars_np[prefix_pad:] if prefix_pad
+                        else wplan.scalars_np)
+                return msm_tpu_heavy_split(
+                    curve, query, scal, host_add, host_mul,
+                    c=wplan.geo.c, use_tree=use_tree)
         res = _msm_reduce_stage(curve, wplan.geo, ax, ay, az)
     out = curve.decode_jac(_tmap(lambda a: a[None], res))[0]
     if extra is not None:
