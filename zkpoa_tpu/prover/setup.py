@@ -147,8 +147,14 @@ class DeviceG2Points:
 
 
 SETUP_CHUNK = 1 << 19  # fixed-base generation chunk (compile reuse + HBM)
-DEVICE_SCALARS_MAX_LOG_DOMAIN = 22  # above: host setup-scalar path (see
-# setup_device — the device path faults the worker at 2^23)
+DEVICE_SCALARS_MAX_LOG_DOMAIN = 22  # above: host setup-scalar path.
+# The device path faults the TPU worker at the 2^23 domain — reproduced
+# in a minimal harness (experiments/hw_check.py stage 10, round 5:
+# _setup_scalars_device on a synthetic 7.2M-wire PackedR1CS crashes the
+# worker after ~10 min with all buffers co-resident, while stage 8's
+# piecewise runs of the same kernels at the same sizes pass), i.e. a
+# platform fault under combined allocation pressure, not a math bug.
+# The gate IS the workaround; committed record: experiments/HW_CHECK10.log.
 HOST_SPILL_MIN_VARS = 3_000_000  # keys above this spill query tables to
 # host RAM (prove uploads each query just-in-time): the full key would not
 # fit HBM next to the prove operands
