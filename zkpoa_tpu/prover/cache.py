@@ -23,6 +23,22 @@ from .setup import DeviceG1Points, DeviceG2Points, ProvingKey, setup, setup_devi
 # circuits above this size use the device-resident setup (HBM query tables,
 # no per-point host decode)
 DEVICE_SETUP_MIN_CONSTRAINTS = 300_000
+# On REAL hardware the device prover takes over much earlier: the host-key
+# prove path runs ops/msm.py's unified jnp adds on the TPU backend, which
+# crashed the worker at the ~250k-constraint full-mode layer-3
+# (experiments/HEAVY_FULL.log round 5) — and is slow there anyway. On the
+# CPU backend (tests) the 300k bar stands: device setup's fixed-base
+# tables are the slow path there.
+DEVICE_SETUP_MIN_CONSTRAINTS_TPU = 50_000
+
+
+def _device_setup_min() -> int:
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return DEVICE_SETUP_MIN_CONSTRAINTS
+    return int(os.environ.get("ZKPOA_DEVICE_SETUP_MIN_TPU",
+                              str(DEVICE_SETUP_MIN_CONSTRAINTS_TPU)))
 
 
 def _shape_digest(r1cs: R1CS, seed: str) -> str:
@@ -58,7 +74,7 @@ def cached_setup(
         return _cached_setup_ptau(
             r1cs, cache_dir, name, ptau_path, contribute_entropy, beacon_hash
         )
-    if r1cs.n_constraints > DEVICE_SETUP_MIN_CONSTRAINTS:
+    if r1cs.n_constraints > _device_setup_min():
         if cache_dir is None:
             return setup_device(r1cs, seed=seed)
         os.makedirs(cache_dir, exist_ok=True)
