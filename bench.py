@@ -149,7 +149,7 @@ def main():
                 # protocol (min single-run latency, internal fetch sync;
                 # fixed since round 3 — round 2 used K-chain differencing
                 # and is not comparable)
-                "prev_rounds": {"r3": 0.4505},
+                "prev_rounds": {"r3": 0.4505, "r4": 0.9958},
                 "config": {"log_n": log_n, "c": c},
             }
         )
