@@ -1762,7 +1762,7 @@ def _tree_device_planned(curve, plan: MsmPlan, rg: int, xs, ys, scalars,
     sort, then packed Fp2 Pallas accumulation (unified tree fallback on
     an in-bucket doubling flag or when Pallas is disabled)."""
     order_y, b_start, b_end, occ = _plan_dev(plan, scalars, point_valid)
-    if _use_g2_pallas():
+    if _use_g2_pallas() and isinstance(xs, tuple):
         n_groups = (int(occ) + rg - 1) // rg
         xy0, xy1 = _pack_xy2(xs, ys)
         idx_enc = _materialize_stream_j(plan, n_groups * rg, order_y,
@@ -2212,7 +2212,11 @@ def msm_shared(curve, query, wplan: WitnessMsmPlan, host_add, host_mul,
     qv = jnp.asarray(pv)
     if use_tree:
         res = None
-        if _use_g2_pallas():
+        # the packed-plane path is Fp2-specific: coordinates must be
+        # (c0, c1) tuples (G2). use_tree=True with plain-array (G1)
+        # coordinates — the unified-add escape hatch — stays on the
+        # tree path (hw_check stage 5 exercises exactly that).
+        if _use_g2_pallas() and isinstance(q_xs, tuple):
             ax, ay, az, ae = _msm_accum_shared2(
                 curve, wplan.geo, RG_ROUNDS, q_xs, q_ys,
                 wplan.order_y, wplan.b_start, wplan.b_end, wplan.occ, qv,
